@@ -1,0 +1,126 @@
+"""DDPM noise schedule and forward/reverse diffusion primitives.
+
+Behavioural counterpart of /root/reference/utils/diffusion_utils.py
+(cosine schedule via squared-cosine alpha-bar, `betas_for_alpha_bar`
+at :8-14, `Diffusion` at :18-75), re-expressed for JAX: the schedule is
+a small pytree of constant tables, forward noising is a pure function,
+and the reverse chain is a single fused `lax.scan` (the reference runs
+the chain as a Python loop of per-step kernel launches,
+models/mocodad.py:163-178).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def betas_for_alpha_bar(num_steps: int, alpha_bar: Callable[[float], float],
+                        max_beta: float = 0.999) -> np.ndarray:
+    """Discretize a continuous alpha-bar curve into per-step betas
+    (ref: utils/diffusion_utils.py:8-14)."""
+    betas = []
+    for i in range(num_steps):
+        t1 = i / num_steps
+        t2 = (i + 1) / num_steps
+        betas.append(min(1 - alpha_bar(t2) / alpha_bar(t1), max_beta))
+    return np.array(betas, dtype=np.float64)
+
+
+def cosine_beta_schedule(num_steps: int) -> np.ndarray:
+    """Squared-cosine schedule (ref: utils/diffusion_utils.py:38-44)."""
+    return betas_for_alpha_bar(
+        num_steps,
+        lambda t: math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2,
+    )
+
+
+def linear_beta_schedule(num_steps: int, beta_start: float = 1e-4,
+                         beta_end: float = 0.02) -> np.ndarray:
+    """Linear schedule (ref: utils/diffusion_utils.py:34-35; dead code in
+    the reference but kept for API completeness)."""
+    return np.linspace(beta_start, beta_end, num_steps)
+
+
+class DiffusionSchedule(NamedTuple):
+    """Constant noise-schedule tables; device-resident once jitted."""
+    beta: jnp.ndarray        # (noise_steps,)
+    alpha: jnp.ndarray       # (noise_steps,)
+    alpha_hat: jnp.ndarray   # (noise_steps,) cumulative product of alpha
+
+    @property
+    def noise_steps(self) -> int:
+        return self.beta.shape[0]
+
+
+def make_schedule(noise_steps: int, kind: str = 'cosine') -> DiffusionSchedule:
+    if kind == 'cosine':
+        beta = cosine_beta_schedule(noise_steps)
+    elif kind == 'linear':
+        beta = linear_beta_schedule(noise_steps)
+    else:
+        raise ValueError(f'unknown schedule kind {kind!r}')
+    beta = jnp.asarray(beta, dtype=jnp.float32)
+    alpha = 1.0 - beta
+    alpha_hat = jnp.cumprod(alpha)
+    return DiffusionSchedule(beta=beta, alpha=alpha, alpha_hat=alpha_hat)
+
+
+def sample_timesteps(rng: jax.Array, n: int, noise_steps: int) -> jnp.ndarray:
+    """Uniform t ~ [1, noise_steps) (ref: utils/diffusion_utils.py:74-75)."""
+    return jax.random.randint(rng, (n,), 1, noise_steps)
+
+
+def forward_noise(schedule: DiffusionSchedule, rng: jax.Array,
+                  x: jnp.ndarray, t: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """q(x_t | x_0): x_t = sqrt(a-bar_t) x + sqrt(1 - a-bar_t) eps.
+
+    Works for any rank of `x`; `t` has shape (B,) aligned with axis 0
+    (generalizes noise_graph/noise_latent, utils/diffusion_utils.py:56-71).
+    """
+    a_hat = schedule.alpha_hat[t]
+    bshape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    sqrt_a = jnp.sqrt(a_hat).reshape(bshape)
+    sqrt_1ma = jnp.sqrt(1.0 - a_hat).reshape(bshape)
+    eps = jax.random.normal(rng, x.shape, dtype=x.dtype)
+    return sqrt_a * x + sqrt_1ma * eps, eps
+
+
+def reverse_sample(schedule: DiffusionSchedule,
+                   denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+                   rng: jax.Array,
+                   shape: Tuple[int, ...],
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """Full reverse DDPM chain as one `lax.scan`.
+
+    `denoise_fn(x, t)` predicts the noise for a batch `x` at integer time
+    `t` (shape (B,)).  Matches the update rule at models/mocodad.py:178:
+        x <- (1/sqrt(a)) (x - (1-a)/sqrt(1-a_hat) eps_hat) + sqrt(b) z
+    with z = 0 on the final (t == 1) step.
+    """
+    rng_init, rng_steps = jax.random.split(rng)
+    x0 = jax.random.normal(rng_init, shape, dtype=dtype)
+    ts = jnp.arange(schedule.noise_steps - 1, 0, -1)  # T-1 .. 1
+
+    def step(x, inputs):
+        t, key = inputs
+        tb = jnp.full((shape[0],), t, dtype=jnp.int32)
+        eps_hat = denoise_fn(x, tb)
+        a = schedule.alpha[t]
+        a_hat = schedule.alpha_hat[t]
+        b = schedule.beta[t]
+        z = jax.random.normal(key, shape, dtype=dtype)
+        z = jnp.where(t > 1, z, jnp.zeros_like(z))
+        x = (1.0 / jnp.sqrt(a)) * (
+            x - ((1.0 - a) / jnp.sqrt(1.0 - a_hat)) * eps_hat
+        ) + jnp.sqrt(b) * z
+        return x, None
+
+    keys = jax.random.split(rng_steps, ts.shape[0])
+    x, _ = jax.lax.scan(step, x0, (ts, keys))
+    return x

@@ -1,0 +1,32 @@
+"""Test configuration: force an 8-device virtual CPU mesh so multi-chip
+sharding logic is exercised without TPU hardware (the TPU-native analogue of
+"test multi-node without a cluster"; see SURVEY.md section 4).
+
+Must run before jax is imported anywhere in the test process.
+"""
+
+import os
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+# The image's shell profile pins JAX_PLATFORMS to the TPU plugin; the env var
+# alone is not reliably honored, so force the platform through jax.config too
+# (must happen before any backend is initialized).
+jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == 'cpu', 'tests must run on the CPU backend'
+assert jax.device_count() == 8, 'tests expect an 8-device virtual CPU mesh'
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
