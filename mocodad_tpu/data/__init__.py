@@ -1,0 +1,2 @@
+from mocodad_tpu.data.transforms import (  # noqa: F401
+    affine_transform_matrices, apply_affine_batch, apply_affine_np)

@@ -1,0 +1,134 @@
+"""Pose augmentations: the 5 affine view transforms + skeleton aug library.
+
+Behavioural counterpart of /root/reference/utils/dataset_utils.py:255-310
+(`get_aff_trans_mat`, `apply_pose_transform`, `ae_trans_list`) and of the
+SSL-style augs in utils/tools.py that are reachable from the dataset
+(`temporal_crop`, utils/tools.py:66-75; the strong-aug chain).
+
+TPU-first difference: the reference multiplies the dataset length by
+num_transform and applies each affine per __getitem__ on the host
+(utils/dataset.py:70-75).  Here the base windows are stored once and the
+(K, 3, 3) matrix bank is applied on device inside the jitted step — one
+tiny einsum — so host memory and dataloader time don't scale with K.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+
+def affine_matrix(sx=1.0, sy=1.0, tx=0.0, ty=0.0, rot=0.0,
+                  flip=False) -> np.ndarray:
+    """3x3 matrix: flip @ (rot @ trans_scale)
+    (ref: utils/dataset_utils.py:255-269)."""
+    cos_r = math.cos(math.radians(rot))
+    sin_r = math.sin(math.radians(rot))
+    flip_mat = np.eye(3, dtype=np.float32)
+    if flip:
+        flip_mat[0, 0] = -1.0
+    trans_scale = np.array([[sx, 0, tx], [0, sy, ty], [0, 0, 1]],
+                           dtype=np.float32)
+    rot_mat = np.array([[cos_r, -sin_r, 0], [sin_r, cos_r, 0], [0, 0, 1]],
+                       dtype=np.float32)
+    return flip_mat @ (rot_mat @ trans_scale)
+
+
+# The 5 shipped view transforms (ref: utils/dataset_utils.py:304-310):
+# identity, flip, rot90, rot90+flip, rot45.
+_AE_TRANS_SPECS = [
+    dict(rot=0, flip=False),
+    dict(rot=0, flip=True),
+    dict(rot=90, flip=False),
+    dict(rot=90, flip=True),
+    dict(rot=45, flip=False),
+]
+
+
+def affine_transform_matrices(num_transform: int) -> np.ndarray:
+    """(K, 3, 3) bank of the first K shipped transforms."""
+    if num_transform > len(_AE_TRANS_SPECS):
+        raise ValueError(f'only {len(_AE_TRANS_SPECS)} shipped transforms')
+    return np.stack([affine_matrix(**spec)
+                     for spec in _AE_TRANS_SPECS[:num_transform]])
+
+
+def apply_affine_np(pose: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Apply one 3x3 affine to (C, T, V) pose data with C in {2, 3}.
+
+    Channel layout (x, y[, conf]); conf passes through unchanged
+    (ref `apply_pose_transform`, utils/dataset_utils.py:272-286)."""
+    c = pose.shape[0]
+    xy1 = np.concatenate([pose[:2], np.ones_like(pose[:1])], axis=0)
+    out = np.einsum('ktv,ck->ctv', xy1, mat)
+    if c > 2:
+        return np.concatenate([out[:2], pose[2:]], axis=0)
+    return out[:2]
+
+
+def apply_affine_batch(data, mats, trans_idx):
+    """Device-side batched affine: data (B, C, T, V) with C>=2, mats
+    (K, 3, 3), trans_idx (B,) int -> transformed data.
+
+    Only the first two channels (x, y) mix; extra channels (conf / global
+    features) pass through, matching apply_pose_transform's conf handling.
+    Pure jnp; safe under jit/vmap/shard_map.
+    """
+    import jax.numpy as jnp
+    m = jnp.asarray(mats)[trans_idx]              # (B, 3, 3)
+    xy = data[:, :2]                              # (B, 2, T, V)
+    lin = jnp.einsum('bdk,bktv->bdtv', m[:, :2, :2], xy)
+    out_xy = lin + m[:, :2, 2][:, :, None, None]
+    if data.shape[1] > 2:
+        return jnp.concatenate([out_xy, data[:, 2:]], axis=1)
+    return out_xy
+
+
+# ---------------------------------------------------------------------------
+# Skeleton augmentation library (ref: utils/tools.py).  Only temporal_crop
+# (and the strong-aug chain for double_item) is reachable from the reference
+# dataset; the rest are provided for API completeness.
+# ---------------------------------------------------------------------------
+
+
+def temporal_crop(pose: np.ndarray, padding_ratio: int = 6,
+                  rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Reflect-pad in time then randomly crop back to T
+    (ref: utils/tools.py:66-75)."""
+    rng = rng or np.random.default_rng()
+    c, t, v = pose.shape
+    pad = t // padding_ratio
+    start = int(rng.integers(0, pad * 2 + 1))
+    padded = np.concatenate([pose[:, :pad][:, ::-1], pose,
+                             pose[:, -pad:][:, ::-1]], axis=1)
+    return padded[:, start:start + t]
+
+
+def random_time_flip(pose: np.ndarray, p: float = 0.5,
+                     rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    rng = rng or np.random.default_rng()
+    if rng.random() < p:
+        return pose[:, ::-1]
+    return pose
+
+
+def gaussian_noise(pose: np.ndarray, mean: float = 0.0, std: float = 0.01,
+                   p: float = 0.5,
+                   rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    rng = rng or np.random.default_rng()
+    if rng.random() < p:
+        return pose + rng.normal(mean, std, size=pose.shape)
+    return pose
+
+
+def axis_mask(pose: np.ndarray, p: float = 0.5,
+              rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Zero one coordinate axis (ref: utils/tools.py:185-207)."""
+    rng = rng or np.random.default_rng()
+    if rng.random() < p:
+        out = pose.copy()
+        out[int(rng.integers(0, 2))] = 0.0
+        return out
+    return pose

@@ -1,0 +1,289 @@
+"""MoCoDAD: motion-conditioned diffusion for skeleton anomaly detection.
+
+Behavioural counterpart of /root/reference/models/mocodad.py (the
+LightningModule), re-architected for TPU:
+
+* model state is an explicit flax variables pytree (params + batch_stats);
+* the training loss and the full multi-sample reverse-diffusion generation
+  are pure jittable functions;
+* the reference's eval loop — `n_generated_samples` x (noise_steps-1)
+  sequential Python-dispatched U-Net calls per batch
+  (models/mocodad.py:160-180, ~450 launches) — is ONE compiled program:
+  the sample axis S is folded into the batch and the step loop is a
+  `lax.scan`, so the U-Net runs (noise_steps-1) times on an (S*B) batch;
+* frame selection / input assembly are device gathers (see models/frames.py)
+  instead of CPU boolean-mask round-trips (ref :673-683, 829-837).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mocodad_tpu.config import Config
+from mocodad_tpu.diffusion import (DiffusionSchedule, forward_noise,
+                                   make_schedule, sample_timesteps)
+from mocodad_tpu.models import frames as F
+from mocodad_tpu.models.losses import aggregate, elementwise_loss
+from mocodad_tpu.nn import STSAE, STSE, STSAEUnet, STSEUnet
+
+
+class MoCoDADNet(nn.Module):
+    """Flax container bundling the condition encoder and the main U-Net so
+    the whole model is one variables pytree (ref `build_model`,
+    models/mocodad.py:90-126)."""
+    num_coords: int
+    n_joints: int
+    embedding_dim: int
+    dropout: float
+    strategy: str
+    conditioning_architecture: Optional[str]
+    h_dim: int
+    latent_dim: int
+    channels: Tuple[int, ...]
+    n_frames_condition: int
+    input_n_frames: int
+
+    def setup(self):
+        if self.strategy == 'inject':
+            arch = self.conditioning_architecture
+            if arch == 'AE':
+                self.condition_encoder = STSAE(
+                    c_in=self.num_coords, h_dim=self.h_dim,
+                    latent_dim=self.latent_dim,
+                    n_frames=self.n_frames_condition,
+                    n_joints=self.n_joints, layer_channels=self.channels,
+                    dropout=self.dropout)
+            elif arch == 'E':
+                self.condition_encoder = STSE(
+                    c_in=self.num_coords, h_dim=self.h_dim,
+                    latent_dim=self.latent_dim,
+                    n_frames=self.n_frames_condition,
+                    n_joints=self.n_joints, layer_channels=self.channels,
+                    dropout=self.dropout)
+            elif arch == 'E_unet':
+                self.condition_encoder = STSEUnet(
+                    c_in=self.num_coords, embedding_dim=None,
+                    latent_dim=self.latent_dim,
+                    n_frames=self.n_frames_condition,
+                    n_joints=self.n_joints, dropout=self.dropout,
+                    set_out_layer=True)
+            else:
+                raise NotImplementedError(
+                    f'Conditioning architecture {arch} not implemented.')
+        else:
+            self.condition_encoder = None
+        self.model = self.make_main_net()
+
+    def make_main_net(self) -> nn.Module:
+        return STSAEUnet(c_in=self.num_coords,
+                         embedding_dim=self.embedding_dim,
+                         n_frames=self.input_n_frames,
+                         n_joints=self.n_joints, dropout=self.dropout,
+                         inject_condition=(self.strategy == 'inject'))
+
+    def encode_condition(self, cond: Optional[jnp.ndarray],
+                         *, train: bool = False):
+        """(ref `_encode_condition`, models/mocodad.py:546-560)."""
+        if self.condition_encoder is None or cond is None:
+            return None, None
+        out = self.condition_encoder(cond, None, train=train)
+        if isinstance(out, tuple):
+            return out  # (latent, reconstruction-or-None)
+        return out, None
+
+    def denoise(self, x: jnp.ndarray, t: jnp.ndarray,
+                cond_emb: Optional[jnp.ndarray], *, train: bool = False
+                ) -> jnp.ndarray:
+        pred, _ = self.model(x, t, cond_emb, train=train)
+        return pred
+
+    def __call__(self, x, t, cond, *, train: bool = False):
+        emb, rec = self.encode_condition(cond, train=train)
+        return self.denoise(x, t, emb, train=train), rec
+
+
+class MoCoDADModel:
+    """Orchestrator exposing pure functions for train/eval.
+
+    Holds only static configuration; all state (params, batch_stats) flows
+    through function arguments, so every method is jit/pjit friendly.
+    """
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.strategy = cfg.strategy
+        self.n_frames = cfg.seg_len
+        self.num_coords = cfg.num_coords
+        self.n_joints = cfg.n_joints
+        (self.n_frames_condition, self.n_frames_corrupt,
+         self.input_n_frames) = cfg.conditioning_split()
+        cond_idxs, corrupt_idxs = cfg.cond_corrupt_indices()
+        self._static_order = (None if cond_idxs is None else
+                              F.static_order(cond_idxs, corrupt_idxs))
+        self.loss_kind = cfg.loss_fn
+        self.rec_weight = cfg.rec_weight
+        self.aggregation_strategy = cfg.aggregation_strategy
+        self.n_generated_samples = cfg.n_generated_samples
+        self.model_return_value = cfg.model_return_value
+        self.schedule: DiffusionSchedule = make_schedule(cfg.noise_steps)
+        self.net = self.build_net()
+
+    # -- construction ---------------------------------------------------
+
+    def build_net(self) -> MoCoDADNet:
+        cfg = self.cfg
+        return MoCoDADNet(
+            num_coords=self.num_coords, n_joints=self.n_joints,
+            embedding_dim=cfg.embedding_dim, dropout=cfg.dropout,
+            strategy=self.strategy,
+            conditioning_architecture=(cfg.conditioning_architecture
+                                       if self.strategy == 'inject' else None),
+            h_dim=cfg.h_dim, latent_dim=cfg.latent_dim,
+            channels=tuple(cfg.channels),
+            n_frames_condition=self.n_frames_condition,
+            input_n_frames=self.input_n_frames)
+
+    def init_variables(self, rng: jax.Array) -> Dict[str, Any]:
+        b = 2
+        x = jnp.zeros((b, self.num_coords, self.input_n_frames, self.n_joints))
+        t = jnp.zeros((b,), jnp.int32)
+        cond = (jnp.zeros((b, self.num_coords, self.n_frames_condition,
+                           self.n_joints))
+                if self.strategy == 'inject' else None)
+        return self.net.init(rng, x, t, cond)
+
+    # -- frame bookkeeping ----------------------------------------------
+
+    def frame_order(self, rng: Optional[jax.Array], batch: int) -> jnp.ndarray:
+        """(T,) static or (B, T) random frame order; see models/frames.py."""
+        if self._static_order is not None:
+            return self._static_order
+        return F.random_order(rng, batch, self.n_frames,
+                              self.n_frames_condition)
+
+    # -- training -------------------------------------------------------
+
+    def loss(self, variables: Dict[str, Any], data: jnp.ndarray,
+             rng: jax.Array, *, train: bool = True
+             ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
+        """Diffusion noise-prediction loss (+ AE reconstruction term)
+        (ref `training_step`, models/mocodad.py:187-227).
+
+        Returns (loss, metrics, mutated-collections).
+        """
+        r_order, r_t, r_noise, r_drop = jax.random.split(rng, 4)
+        b = data.shape[0]
+        order = self.frame_order(r_order, b)
+        cond_data, corrupt_data = F.select_frames(data, order,
+                                                  self.n_frames_condition)
+        inject_cond = cond_data if self.strategy == 'inject' else None
+
+        t = sample_timesteps(r_t, b, self.schedule.noise_steps)
+        x_t, noise = forward_noise(self.schedule, r_noise, corrupt_data, t)
+        x_in = F.assemble_input(self.strategy, cond_data, x_t, order,
+                                self.n_frames_condition)
+
+        def run(variables):
+            return self.net.apply(
+                variables, x_in, t, inject_cond, train=train,
+                mutable=['batch_stats'] if train else False,
+                rngs={'dropout': r_drop} if train else None)
+
+        if train:
+            (pred, rec_cond), mutated = run(variables)
+        else:
+            pred, rec_cond = run(variables)
+            mutated = {}
+        pred = F.extract_corrupt(self.strategy, pred, order,
+                                 self.n_frames_condition)
+
+        loss_noise = elementwise_loss(self.loss_kind, pred, noise).mean()
+        metrics = {'loss_noise': loss_noise}
+        loss = loss_noise
+        if rec_cond is not None:
+            loss_rec = jnp.square(rec_cond - cond_data).mean()
+            loss = loss_noise + self.rec_weight * loss_rec
+            metrics['loss_recons'] = loss_rec
+        metrics['loss'] = loss
+        return loss, metrics, mutated
+
+    # -- generation / evaluation ----------------------------------------
+
+    def generate(self, variables: Dict[str, Any], data: jnp.ndarray,
+                 rng: jax.Array, aggr_strategy: Optional[str] = None,
+                 n_samples: Optional[int] = None
+                 ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
+        """Sample S futures per window and aggregate
+        (ref `forward`, models/mocodad.py:129-184).
+
+        Returns (selected_x, loss_of_selected_x); selected_x is None for
+        loss-only aggregations, matching the reference.
+        """
+        aggr = aggr_strategy or self.aggregation_strategy
+        s = n_samples or self.n_generated_samples
+        r_order, r_init, r_steps, r_aggr = jax.random.split(rng, 4)
+        b = data.shape[0]
+
+        order = self.frame_order(r_order, b)
+        cond_data, corrupt_data = F.select_frames(data, order,
+                                                  self.n_frames_condition)
+        inject_cond = cond_data if self.strategy == 'inject' else None
+        cond_emb, _ = self.net.apply(variables, inject_cond,
+                                     method=MoCoDADNet.encode_condition)
+
+        # Fold the sample axis into the batch: every tensor the U-Net sees
+        # is (S*B, ...), so each of the (noise_steps-1) scan iterations is
+        # one large MXU-friendly launch.
+        def tile(x):
+            return (None if x is None else
+                    jnp.broadcast_to(x[None], (s,) + x.shape)
+                       .reshape((s * b,) + x.shape[1:]))
+
+        cond_tiled = tile(cond_data)
+        emb_tiled = tile(cond_emb)
+        order_tiled = order if order.ndim == 1 else tile(order)
+
+        corrupt_shape = (s * b, self.num_coords, self.n_frames_corrupt,
+                         self.n_joints)
+        x0 = jax.random.normal(r_init, corrupt_shape, dtype=data.dtype)
+        ts = jnp.arange(self.schedule.noise_steps - 1, 0, -1)
+        keys = jax.random.split(r_steps, ts.shape[0])
+
+        def step(x, inputs):
+            t_scalar, key = inputs
+            x_in = F.assemble_input(self.strategy, cond_tiled, x,
+                                    order_tiled, self.n_frames_condition)
+            tb = jnp.full((s * b,), t_scalar, dtype=jnp.int32)
+            eps = self.net.apply(variables, x_in, tb, emb_tiled,
+                                 method=MoCoDADNet.denoise)
+            eps = F.extract_corrupt(self.strategy, eps, order_tiled,
+                                    self.n_frames_condition)
+            a = self.schedule.alpha[t_scalar]
+            a_hat = self.schedule.alpha_hat[t_scalar]
+            beta = self.schedule.beta[t_scalar]
+            z = jax.random.normal(key, x.shape, dtype=x.dtype)
+            z = jnp.where(t_scalar > 1, z, jnp.zeros_like(z))
+            x = (1.0 / jnp.sqrt(a)) * (
+                x - ((1.0 - a) / jnp.sqrt(1.0 - a_hat)) * eps
+            ) + jnp.sqrt(beta) * z
+            return x, None
+
+        x, _ = jax.lax.scan(step, x0, (ts, keys))
+        xs = x.reshape((s, b) + x.shape[1:])
+        return aggregate(aggr, self.loss_kind, xs, corrupt_data, rng=r_aggr)
+
+    def pack_output(self, selected_x, loss_of_selected_x,
+                    return_: Optional[str] = None):
+        """(ref `_pack_out_data`, models/mocodad.py:606-636)."""
+        return_ = return_ or self.model_return_value
+        if return_ == 'pose':
+            return [selected_x]
+        if return_ == 'loss':
+            return [loss_of_selected_x]
+        if return_ == 'all':
+            return [loss_of_selected_x, selected_x]
+        raise ValueError(f'unknown model_return_value {return_!r}')

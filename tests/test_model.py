@@ -1,0 +1,149 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mocodad_tpu.config import Config
+from mocodad_tpu.models import MoCoDADModel, MoCoDADLatentModel, build_model
+
+
+def _cfg(**kw):
+    base = dict(conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
+                seg_len=6, num_coords=2, embedding_dim=16, h_dim=32,
+                latent_dim=16, channels=[32, 16, 32], dropout=0.0,
+                noise_steps=10, n_generated_samples=3,
+                aggregation_strategy='best', conditioning_architecture='AE')
+    base.update(kw)
+    return Config(**base)
+
+
+STRATEGIES = [
+    dict(conditioning_strategy='inject', conditioning_indices=[0, 1, 2]),
+    dict(conditioning_strategy='concat', conditioning_indices=2),
+    dict(conditioning_strategy='inbetween_imp', conditioning_indices=2),
+    dict(conditioning_strategy='random_imp', conditioning_indices=3),
+    dict(conditioning_strategy='no_condition'),
+]
+
+
+@pytest.mark.parametrize('kw', STRATEGIES,
+                         ids=[s['conditioning_strategy'] for s in STRATEGIES])
+def test_loss_runs_for_every_strategy(kw):
+    model = MoCoDADModel(_cfg(**kw))
+    variables = model.init_variables(jax.random.key(0))
+    data = jax.random.normal(jax.random.key(1), (8, 2, 6, 17))
+    loss, metrics, mutated = jax.jit(
+        lambda v, d, r: model.loss(v, d, r))(variables, data,
+                                             jax.random.key(2))
+    assert np.isfinite(float(loss))
+    assert 'loss_noise' in metrics
+    if model.cfg.conditioning_architecture == 'AE' and model.strategy == 'inject':
+        assert 'loss_recons' in metrics
+    assert 'batch_stats' in mutated
+
+
+@pytest.mark.parametrize('kw', STRATEGIES,
+                         ids=[s['conditioning_strategy'] for s in STRATEGIES])
+def test_generate_runs_for_every_strategy(kw):
+    model = MoCoDADModel(_cfg(**kw))
+    variables = model.init_variables(jax.random.key(0))
+    data = jax.random.normal(jax.random.key(1), (4, 2, 6, 17))
+    sel, loss = jax.jit(
+        lambda v, d, r: model.generate(v, d, r))(variables, data,
+                                                 jax.random.key(2))
+    n_corrupt = model.n_frames_corrupt
+    assert sel.shape == (4, 2, n_corrupt, 17)
+    assert loss.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(loss)))
+
+
+def test_generate_deterministic_under_key():
+    model = MoCoDADModel(_cfg())
+    variables = model.init_variables(jax.random.key(0))
+    data = jax.random.normal(jax.random.key(1), (4, 2, 6, 17))
+    _, l1 = model.generate(variables, data, jax.random.key(5))
+    _, l2 = model.generate(variables, data, jax.random.key(5))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_training_reduces_loss():
+    import optax
+    model = MoCoDADModel(_cfg())
+    variables = model.init_variables(jax.random.key(0))
+    params, stats = variables['params'], variables['batch_stats']
+    data = jax.random.normal(jax.random.key(1), (32, 2, 6, 17)) * 0.1
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, stats, opt_state, rng):
+        def lf(p):
+            loss, metrics, mut = model.loss(
+                {'params': p, 'batch_stats': stats}, data, rng)
+            return loss, mut
+        (loss, mut), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), mut['batch_stats'], \
+            opt_state, loss
+
+    rng = jax.random.key(3)
+    first = None
+    for i in range(30):
+        # fixed rng per step so the loss target is stationary
+        params, stats, opt_state, loss = step(params, stats, opt_state, rng)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+
+
+def test_pack_output_variants():
+    model = MoCoDADModel(_cfg(model_return_value='loss'))
+    x, l = jnp.ones((2, 2, 3, 17)), jnp.ones((2,))
+    assert model.pack_output(x, l) == [l]
+    assert model.pack_output(x, l, return_='pose') == [x]
+    assert model.pack_output(x, l, return_='all') == [l, x]
+
+
+def test_model_dispatch_on_latent_key():
+    assert isinstance(build_model(_cfg()), MoCoDADModel)
+    cfg = _cfg(diffusion_on_latent=True, stage='pretrain')
+    m = build_model(cfg)
+    assert isinstance(m, MoCoDADLatentModel)
+
+
+def test_latent_pretrain_loss_and_forward():
+    model = MoCoDADLatentModel(_cfg(diffusion_on_latent=True,
+                                    stage='pretrain'))
+    variables = model.init_variables(jax.random.key(0))
+    data = jax.random.normal(jax.random.key(1), (4, 2, 6, 17))
+    loss, metrics, mutated = model.loss(variables, data, jax.random.key(2))
+    assert np.isfinite(float(loss)) and 'loss_unet' in metrics
+    pose, none = model.generate(variables, data, jax.random.key(3))
+    assert pose.shape == (4, 2, 3, 17) and none is None
+    assert model.model_return_value == 'pose'
+
+
+def test_latent_diffusion_loss_generate_and_mask():
+    model = MoCoDADLatentModel(_cfg(diffusion_on_latent=True,
+                                    stage='diffusion',
+                                    latent_embedding_dim=64,
+                                    hidden_sizes=[64, 128, 128, 64]))
+    variables = model.init_variables(jax.random.key(0))
+    data = jax.random.normal(jax.random.key(1), (4, 2, 6, 17))
+    loss, metrics, _ = model.loss(variables, data, jax.random.key(2))
+    assert np.isfinite(float(loss)) and 'loss_noise' in metrics
+    sel, l = model.generate(variables, data, jax.random.key(3))
+    assert sel.shape == (4, 64) and l.shape == (4,)
+    # freeze mask: only the denoiser trains
+    mask = model.trainable_mask(variables['params'])
+    flat = jax.tree_util.tree_leaves_with_path(mask)
+    for path, trainable in flat:
+        top = path[0].key
+        assert trainable == (top == 'denoiser'), (path, trainable)
+
+
+def test_latent_requires_inject():
+    with pytest.raises(ValueError):
+        MoCoDADLatentModel(_cfg(diffusion_on_latent=True,
+                                conditioning_strategy='concat',
+                                conditioning_indices=2))
