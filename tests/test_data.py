@@ -1,0 +1,205 @@
+import os
+
+import numpy as np
+import pytest
+
+from mocodad_tpu.data import scalers as S
+from mocodad_tpu.data import trajectories as T
+from mocodad_tpu.data import windows as W
+from mocodad_tpu.data import transforms as TR
+
+
+# ---------- scalers vs sklearn oracles ----------
+
+def test_robust_scaler_matches_sklearn(rng):
+    from sklearn.preprocessing import RobustScaler as SkRobust
+    X = rng.normal(size=(200, 6)) * 5 + 2
+    X[rng.random(X.shape) < 0.1] = np.nan
+    ours = S.RobustScaler((10.0, 90.0)).fit(X)
+    sk = SkRobust(quantile_range=(10.0, 90.0)).fit(X)
+    Y = rng.normal(size=(50, 6))
+    np.testing.assert_allclose(ours.transform(Y), sk.transform(Y), rtol=1e-9)
+    np.testing.assert_allclose(ours.inverse_transform(ours.transform(Y)), Y,
+                               rtol=1e-9)
+
+
+def test_minmax_scaler_matches_sklearn(rng):
+    from sklearn.preprocessing import MinMaxScaler as SkMinMax
+    X = rng.normal(size=(100, 4)) * 3
+    ours = S.MinMaxScaler().fit(X)
+    sk = SkMinMax().fit(X)
+    Y = rng.normal(size=(20, 4))
+    np.testing.assert_allclose(ours.transform(Y), sk.transform(Y), rtol=1e-9)
+
+
+def test_scale_trajectories_robust_zero_roundtrip(rng):
+    X = rng.normal(size=(300, 8)) + 4
+    X[rng.random(X.shape) < 0.15] = 0.0  # missing markers
+    Xs, scaler = S.scale_trajectories(X, strategy='robust')
+    # zeros (missing) must map back to exactly 0 in the output
+    assert np.all(Xs[X == 0.0] == 0.0)
+    # non-missing entries transformed by (x - median) / iqr
+    nz = X != 0.0
+    manual = (X - scaler.center_) / scaler.scale_
+    np.testing.assert_allclose(Xs[nz], manual[nz], rtol=1e-9)
+    # a second call with the fitted scaler reproduces the result
+    Xs2, _ = S.scale_trajectories(X, scaler=scaler, strategy='robust')
+    np.testing.assert_allclose(Xs, Xs2, rtol=1e-12)
+
+
+def test_scaler_persistence_roundtrip(tmp_path, rng):
+    X = rng.normal(size=(100, 4))
+    for strategy in ['robust', 'zero_one', 'three_stds']:
+        Xs, scaler = S.scale_trajectories(X, strategy=strategy)
+        path = str(tmp_path / f'{strategy}.npz')
+        S.save_scaler(scaler, path)
+        loaded = S.load_scaler(path)
+        Xs2, _ = S.scale_trajectories(X, scaler=loaded, strategy=strategy)
+        np.testing.assert_allclose(Xs, Xs2, rtol=1e-12)
+
+
+# ---------- bounding boxes / coordinate systems vs reference oracle ----------
+
+def _bbox_oracle(keypoints, video_resolution):
+    # scalar port of the documented reference behaviour (utils/data.py:11-43)
+    width, height = video_resolution
+    kp = keypoints.reshape(-1, 2)
+    x, y = kp[:, 0], kp[:, 1]
+    x, y = x[x != 0.0], y[y != 0.0]
+    if x.size == 0 or y.size == 0:
+        return 0, 0, 0, 0
+    left, right, top, bottom = np.min(x), np.max(x), np.min(y), np.max(y)
+    ew, eh = 0.1 * (right - left + 1), 0.1 * (bottom - top + 1)
+    left = np.clip(left - ew, 0, width - 1)
+    right = np.clip(right + ew, 0, width - 1)
+    top = np.clip(top - eh, 0, height - 1)
+    bottom = np.clip(bottom + eh, 0, height - 1)
+    return (int(round(left)), int(round(right)), int(round(top)),
+            int(round(bottom)))
+
+
+def test_bounding_boxes_match_oracle(rng):
+    res = (640, 360)
+    coords = rng.uniform(0, 700, size=(50, 34)).astype(np.float32)
+    coords[rng.random(coords.shape) < 0.2] = 0.0
+    coords[7] = 0.0  # fully missing frame
+    got = T.compute_bounding_boxes(coords, res)
+    for i in range(coords.shape[0]):
+        want = _bbox_oracle(coords[i], res)
+        np.testing.assert_array_equal(got[i], want, err_msg=f'frame {i}')
+
+
+def test_bbox_centre_coordinates_match_oracle(rng):
+    res = np.array([640, 360], dtype=np.float32)
+    coords = rng.uniform(1, 600, size=(30, 34)).astype(np.float32)
+    coords[rng.random(coords.shape) < 0.15] = 0.0
+    coords[3] = 0.0
+    tr = T.Trajectory('1-2_0001', np.arange(30, dtype=np.int32),
+                      coords.copy())
+    tr.change_coordinate_system(res, 'bounding_box_centre')
+    # oracle: scalar per-frame loop (utils/data.py:165-186)
+    want = coords.copy()
+    for i, kps in enumerate(want):
+        if not np.any(kps):
+            continue
+        l, r, t_, b = _bbox_oracle(kps, res)
+        cx, cy = (l + r) / 2, (t_ + b) / 2
+        xs, ys = kps.reshape(-1, 2)[:, 0].copy(), kps.reshape(-1, 2)[:, 1].copy()
+        xs = np.where(xs == 0.0, cx, xs) - cx
+        ys = np.where(ys == 0.0, cy, ys) - cy
+        wd, ht = r - l, b - t_
+        xs = xs / wd if wd != 0 else np.zeros_like(xs)
+        ys = ys / ht if ht != 0 else np.zeros_like(ys)
+        want[i] = np.stack([xs, ys], -1).ravel()
+    np.testing.assert_allclose(tr.coordinates, want, rtol=1e-5, atol=1e-6)
+
+
+def test_global_features_shape_and_scale(rng):
+    res = np.array([640, 360], dtype=np.float32)
+    coords = rng.uniform(10, 300, size=(20, 34)).astype(np.float32)
+    tr = T.Trajectory('1-1_0001', np.arange(20, dtype=np.int32), coords)
+    g = tr.extract_global_features(res)
+    assert g.shape == (20, 4)
+    assert np.all(g[:, 2] >= 0) and np.all(g[:, 3] >= 0)  # width/height
+
+
+# ---------- windowing ----------
+
+def test_window_index_matrix_matches_reference_loop():
+    # oracle: the reference's loop (utils/preprocessing.py:74-81)
+    for L, il, gap in [(20, 6, 0), (30, 6, 5), (7, 6, 0), (6, 6, 0)]:
+        span = il + gap * (il - 1)
+        step = gap + 1
+        want = [list(range(s, s + span, step))
+                for s in range(0, L - span + 1)]
+        got = W.window_index_matrix(L, il, gap)
+        np.testing.assert_array_equal(got, np.array(want).reshape(-1, il))
+
+
+def test_window_index_matrix_too_short():
+    assert W.window_index_matrix(5, 6, 0).shape == (0, 6)
+
+
+def test_aggregate_windows_meta(rng):
+    coords = rng.normal(size=(12, 34)).astype(np.float32)
+    frames = np.arange(100, 112, dtype=np.int32)
+    tr = {'3-7_0002': T.Trajectory('3-7_0002', frames, coords)}
+    X, meta, fr = W.aggregate_windows(tr, input_length=6, input_gap=0)
+    assert X.shape == (7, 6, 34)
+    assert np.all(meta[:, 0] == 3) and np.all(meta[:, 1] == 7)
+    assert np.all(meta[:, 2] == 2)
+    np.testing.assert_array_equal(meta[:, 3], frames[:7])
+    np.testing.assert_array_equal(fr[0], frames[:6])
+
+
+def test_remove_short_trajectories():
+    mk = lambda n: T.Trajectory('1-1_0001', np.arange(n, dtype=np.int32),
+                                np.zeros((n, 34), np.float32))
+    trajs = {'a': mk(5), 'b': mk(6), 'c': mk(20)}
+    kept = T.remove_short_trajectories(trajs, input_length=6, input_gap=0)
+    assert set(kept) == {'b', 'c'}
+    kept = T.remove_short_trajectories(trajs, input_length=6, input_gap=2)
+    assert set(kept) == {'c'}  # needs 6 + 2*5 = 16 frames
+
+
+# ---------- affine transforms ----------
+
+def test_affine_matrices_match_reference_spec():
+    mats = TR.affine_transform_matrices(5)
+    np.testing.assert_allclose(mats[0], np.eye(3), atol=1e-7)   # identity
+    # flip: x -> -x
+    np.testing.assert_allclose(mats[1] @ [1, 2, 1], [-1, 2, 1], atol=1e-6)
+    # rot90: (x, y) -> (-y, x)
+    np.testing.assert_allclose(mats[2] @ [1, 2, 1], [-2, 1, 1], atol=1e-6)
+    # rot90 + flip: (x, y) -> (y, x)
+    np.testing.assert_allclose(mats[3] @ [1, 2, 1], [2, 1, 1], atol=1e-6)
+    # rot45
+    s = np.sqrt(2) / 2
+    np.testing.assert_allclose(mats[4] @ [1, 0, 1], [s, s, 1], atol=1e-6)
+
+
+def test_apply_affine_np_conf_passthrough(rng):
+    pose = rng.normal(size=(3, 6, 17)).astype(np.float32)
+    mat = TR.affine_matrix(rot=90, flip=True)
+    out = TR.apply_affine_np(pose, mat)
+    np.testing.assert_array_equal(out[2], pose[2])  # conf untouched
+    np.testing.assert_allclose(out[0], pose[1], rtol=1e-5)   # x' = y
+    np.testing.assert_allclose(out[1], pose[0], rtol=1e-5)   # y' = x
+
+
+def test_apply_affine_batch_matches_np(rng):
+    import jax.numpy as jnp
+    data = rng.normal(size=(8, 2, 6, 17)).astype(np.float32)
+    mats = TR.affine_transform_matrices(5)
+    trans = np.array([0, 1, 2, 3, 4, 1, 2, 3], dtype=np.int32)
+    got = np.asarray(TR.apply_affine_batch(jnp.asarray(data), mats,
+                                           jnp.asarray(trans)))
+    for i in range(8):
+        want = TR.apply_affine_np(data[i], mats[trans[i]])
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_temporal_crop_shape(rng):
+    pose = rng.normal(size=(2, 12, 17))
+    out = TR.temporal_crop(pose, 6, rng=np.random.default_rng(0))
+    assert out.shape == pose.shape
