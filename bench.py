@@ -1,0 +1,68 @@
+"""Benchmark: eval pose-windows/sec/chip at the reference's test sampling
+settings (50 generated samples x 9 reverse-DDPM steps per window,
+config/UBnormal/mocodad_test.yaml:54,68).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation (documented estimate — the reference repo publishes no
+throughput numbers, BASELINE.md): the PyTorch eval loop issues
+n_generated_samples x (noise_steps-1) = 450 sequential Python-dispatched
+U-Net forwards per batch (models/mocodad.py:160-180), each ~25 small
+modules; on a modern data-center GPU this path is kernel-launch-bound at
+roughly 0.5 s per 1024-window batch => ~2,000 windows/s.  We use
+BASELINE_WINDOWS_PER_SEC = 2000 as the 1x reference point.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_WINDOWS_PER_SEC = 2000.0
+
+BATCH = 1024
+N_GENERATED = 50
+NOISE_STEPS = 10
+WARMUP = 2
+ITERS = 5
+
+
+def main():
+    import jax
+    from mocodad_tpu.config import Config
+    from mocodad_tpu.models import MoCoDADModel
+
+    cfg = Config(
+        conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
+        conditioning_architecture='AE', channels=[32, 16, 32],
+        embedding_dim=16, h_dim=32, latent_dim=16, dropout=0.0,
+        seg_len=6, num_coords=2, noise_steps=NOISE_STEPS,
+        n_generated_samples=N_GENERATED, aggregation_strategy='best',
+        batch_size=BATCH, seed=0)
+
+    model = MoCoDADModel(cfg)
+    variables = model.init_variables(jax.random.key(0))
+    data = jax.random.normal(jax.random.key(1), (BATCH, 2, 6, 17))
+
+    gen = jax.jit(lambda v, d, r: model.generate(v, d, r))
+    for i in range(WARMUP):
+        _, loss = gen(variables, data, jax.random.key(i))
+        loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        _, loss = gen(variables, data, jax.random.key(100 + i))
+        loss.block_until_ready()
+    dt = (time.perf_counter() - t0) / ITERS
+
+    wps = BATCH / dt
+    print(json.dumps({
+        'metric': 'eval_windows_per_sec_per_chip',
+        'value': round(wps, 1),
+        'unit': 'windows/s (50 samples x 9 DDPM steps each)',
+        'vs_baseline': round(wps / BASELINE_WINDOWS_PER_SEC, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -31,6 +31,9 @@ class PoseWindows:
     meta: np.ndarray      # (N, 4) int64 [scene, clip, person, start_frame]
     frames: np.ndarray    # (N, T) int32 actual frame numbers
     num_transform: int
+    # With no affine transform list, the reference applies a RANDOM temporal
+    # crop per item instead — even at test time (utils/dataset.py:81,125-130).
+    old_aug: bool = False
 
     @property
     def num_samples(self) -> int:
@@ -77,7 +80,8 @@ def build_dataset(cfg: Config, split: str = 'train') -> PoseWindows:
     # keep only the modeled coordinate channels (ref: utils/dataset.py:75)
     data = data[:, :cfg.num_coords]
     return PoseWindows(data=data, meta=meta, frames=frames,
-                       num_transform=num_transform)
+                       num_transform=num_transform,
+                       old_aug=(cfg.num_transform < 1))
 
 
 def make_loader(ds: PoseWindows, batch_size: int, shuffle: bool = False,
@@ -91,9 +95,10 @@ def make_loader(ds: PoseWindows, batch_size: int, shuffle: bool = False,
     jit) with `mask` marking the valid rows.
     """
     n_virtual = len(ds)
+    rng = np.random.default_rng(seed)
     order = np.arange(n_virtual)
     if shuffle:
-        np.random.default_rng(seed).shuffle(order)
+        rng.shuffle(order)
     n = ds.num_samples
     for start in range(0, n_virtual, batch_size):
         idx = order[start:start + batch_size]
@@ -105,8 +110,12 @@ def make_loader(ds: PoseWindows, batch_size: int, shuffle: bool = False,
         trans_idx = (idx // n).astype(np.int32)
         mask = np.zeros(idx.shape[0], dtype=np.float32)
         mask[:valid] = 1.0
+        data = ds.data[sample_idx]
+        if ds.old_aug:
+            from mocodad_tpu.data.transforms import temporal_crop
+            data = np.stack([temporal_crop(d, rng=rng) for d in data])
         yield {
-            'data': ds.data[sample_idx],
+            'data': data,
             'trans': trans_idx,
             'meta': ds.meta[sample_idx],
             'frames': ds.frames[sample_idx],

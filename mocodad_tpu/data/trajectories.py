@@ -228,3 +228,54 @@ def aggregate_autoencoder_data(trajectories: Dict[str, Trajectory]
     """Stack all per-frame coordinates (scaler-fit input; ref:
     utils/data.py:362-367)."""
     return np.vstack([t.coordinates for t in trajectories.values()])
+
+
+def load_anomaly_masks(anomaly_masks_path: str) -> Dict[str, np.ndarray]:
+    """{file stem: 0/1 frame mask} (ref: utils/data.py:396-404)."""
+    masks = {}
+    for file_name in sorted(os.listdir(anomaly_masks_path)):
+        full_id = file_name.split('.')[0]
+        masks[full_id] = np.load(os.path.join(anomaly_masks_path, file_name))
+    return masks
+
+
+def assemble_ground_truth_and_reconstructions(
+        anomaly_masks: Dict[str, np.ndarray], trajectory_ids: np.ndarray,
+        reconstruction_frames: np.ndarray, reconstruction_errors: np.ndarray,
+        return_video_ids: bool = False):
+    """Per-video max-pooled reconstruction errors aligned with ground truth
+    (ref: utils/data.py:407-437).  trajectory_ids are '{video}_{person}'."""
+    y_true, y_hat = {}, {}
+    for full_id, mask in anomaly_masks.items():
+        y_true[full_id] = mask.astype(np.int32)
+        y_hat[full_id] = np.zeros_like(y_true[full_id], dtype=np.float32)
+
+    for trajectory_id in np.unique(trajectory_ids):
+        video_id = str(trajectory_id).split('_')[0]
+        sel = trajectory_ids == trajectory_id
+        frames = reconstruction_frames[sel] - 1  # frames are 1-indexed
+        y_hat[video_id][frames] = np.maximum(
+            y_hat[video_id][frames], reconstruction_errors[sel])
+
+    y_true_, y_hat_, video_ids = [], [], []
+    for video_id in sorted(y_true.keys()):
+        y_true_.append(y_true[video_id])
+        y_hat_.append(y_hat[video_id])
+        video_ids.extend([video_id] * len(y_true_[-1]))
+    y_true_, y_hat_ = np.concatenate(y_true_), np.concatenate(y_hat_)
+    if return_video_ids:
+        return y_true_, y_hat_, video_ids
+    return y_true_, y_hat_
+
+
+def quantile_transform_errors(y_hats: Dict[str, np.ndarray]
+                              ) -> Dict[str, np.ndarray]:
+    """Map each camera's scores to uniform quantiles
+    (ref: utils/data.py:440-444; sklearn quantile_transform equivalent
+    via empirical CDF)."""
+    for camera_id, y_hat in y_hats.items():
+        order = np.argsort(np.argsort(y_hat, kind='mergesort'),
+                           kind='mergesort')
+        n = max(len(y_hat) - 1, 1)
+        y_hats[camera_id] = order.astype(np.float64) / n
+    return y_hats

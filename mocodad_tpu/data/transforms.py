@@ -132,3 +132,127 @@ def axis_mask(pose: np.ndarray, p: float = 0.5,
         out[int(rng.integers(0, 2))] = 0.0
         return out
     return pose
+
+
+def shear(pose: np.ndarray, r: float = 0.5,
+          rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Random shear of the coordinate channels (ref: utils/tools.py:52-63).
+    Expects 3 channels (the reference applies it pre-slicing)."""
+    rng = rng or np.random.default_rng()
+    s = rng.uniform(-r, r, size=6)
+    m = np.array([[1, s[0], s[1]],
+                  [s[2], 1, s[3]],
+                  [s[4], s[5], 1]])
+    return np.einsum('ktv,kc->ctv', pose, m)
+
+
+def random_rotate(pose: np.ndarray,
+                  rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Random small 3-D rotation of (x, y[, pad]) coordinates
+    (ref: utils/tools.py:98-138): one axis gets up to 30 degrees, the other
+    up to 1 degree; the 2-channel pose is padded to 3-D by repetition."""
+    rng = rng or np.random.default_rng()
+
+    def rot_mat(axis, angle):
+        c, s = math.cos(angle), math.sin(angle)
+        if axis == 0:
+            return np.array([[1, 0, 0], [0, c, s], [0, -s, c]])
+        return np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
+
+    seq = np.transpose(pose.copy(), (1, 2, 0))  # (T, V, C)
+    # pad channels to 3 by repetition, as the reference's torch repeat does
+    reps = -(-3 // seq.shape[-1])
+    seq3 = np.tile(seq, (1, 1, reps))[:, :, :3]
+    main_axis = int(rng.integers(0, 3))
+    for axis in (0, 1):
+        hi = 30 if axis == main_axis else 1
+        angle = math.radians(rng.uniform(0, hi))
+        seq3 = np.matmul(seq3, rot_mat(axis, angle).T)
+    return np.transpose(seq3[:, :, :pose.shape[0]], (2, 0, 1))
+
+
+def gaussian_blur(pose: np.ndarray, kernel: int = 15, sigma=(0.1, 2.0),
+                  p: float = 0.5,
+                  rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Random-sigma temporal gaussian blur (ref GaussianBlurConv,
+    utils/tools.py:156-182)."""
+    rng = rng or np.random.default_rng()
+    if rng.random() >= p:
+        return pose
+    s = rng.uniform(sigma[0], sigma[1])
+    radius = kernel // 2
+    idx = np.arange(-radius, radius + 1)
+    w = np.exp(-idx.astype(np.float64) ** 2 / (2.0 * s ** 2))
+    # the reference does NOT normalize the kernel; 'same' conv over time
+    out = np.empty_like(pose, dtype=np.float64)
+    c, t, v = pose.shape
+    padded = np.pad(pose, ((0, 0), (radius, radius), (0, 0)))
+    for k in range(len(idx)):
+        if k == 0:
+            acc = padded[:, k:k + t] * w[k]
+        else:
+            acc += padded[:, k:k + t] * w[k]
+    out[:] = acc
+    return out
+
+
+def resample(pose: np.ndarray,
+             rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """FFT time resampling to a random 0.7-1.3x rate
+    (ref: utils/tools.py:210-214; scipy.signal.resample equivalent)."""
+    rng = rng or np.random.default_rng()
+    rate = int(rng.integers(7, 14)) * 0.1
+    n = pose.shape[1]
+    num = int(n * rate)
+    spec = np.fft.rfft(pose, axis=1)
+    new_spec = np.zeros((pose.shape[0], num // 2 + 1, pose.shape[2]),
+                        dtype=spec.dtype)
+    n_min = min(num, n)
+    nyq = n_min // 2 + 1
+    new_spec[:, :nyq] = spec[:, :nyq]
+    if n_min % 2 == 0:  # Nyquist-component split/fold, as scipy does
+        if num < n:
+            new_spec[:, n_min // 2] *= 2.0
+        elif num > n:
+            new_spec[:, n_min // 2] *= 0.5
+    return np.fft.irfft(new_spec, n=num, axis=1) * (num / n)
+
+
+def limbs_mask(pose: np.ndarray, p: float = 0.5,
+               rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Drop one body side's limb joints (NTU 25-joint indexing;
+    ref: utils/tools.py:224-235)."""
+    rng = rng or np.random.default_rng()
+    if rng.random() < p:
+        out = pose.copy()
+        if rng.random() < 0.5:
+            drop = [9, 10, 11, 17, 18, 19, 23, 24]
+        else:
+            drop = [5, 6, 7, 13, 14, 15, 21, 22]
+        drop = [d for d in drop if d < pose.shape[2]]
+        out[:, :, drop] = 0
+        return out
+    return pose
+
+
+def temporal_shift(pose: np.ndarray,
+                   rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Circular time shift (ref: utils/tools.py:238-241)."""
+    rng = rng or np.random.default_rng()
+    offset = int(rng.integers(0, pose.shape[1]))
+    return np.concatenate([pose[:, offset:], pose[:, :offset]], axis=1)
+
+
+def strong_augment(pose: np.ndarray, padding_ratio: int = 6,
+                   rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """The reference's strong-aug chain for double_item
+    (ref: utils/dataset.py:112-123): temporal crop, random rotate, gaussian
+    noise, gaussian blur, axis mask, time flip."""
+    rng = rng or np.random.default_rng()
+    pose = temporal_crop(pose, padding_ratio, rng=rng)
+    pose = random_rotate(pose, rng=rng)
+    pose = gaussian_noise(pose, rng=rng)
+    pose = gaussian_blur(pose, rng=rng)
+    pose = axis_mask(pose, rng=rng)
+    pose = random_time_flip(pose, rng=rng)
+    return np.ascontiguousarray(pose)

@@ -22,6 +22,7 @@ from typing import Any, Dict, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mocodad_tpu.config import Config
 from mocodad_tpu.diffusion import (DiffusionSchedule, forward_noise,
@@ -130,6 +131,15 @@ class MoCoDADModel:
         self.n_generated_samples = cfg.n_generated_samples
         self.model_return_value = cfg.model_return_value
         self.schedule: DiffusionSchedule = make_schedule(cfg.noise_steps)
+        # Generation compute dtype: bf16 halves HBM traffic on the
+        # bandwidth-bound sampling loop; losses are reduced in f32.
+        # Opt-in via the 'eval_dtype: bfloat16' config key.
+        self.eval_dtype = {'float32': jnp.float32,
+                           'bfloat16': jnp.bfloat16}[
+            str(cfg.extras.get('eval_dtype', 'float32'))]
+        # Layout-optimized eval U-Net (ops/fast_unet.py); numerically
+        # equivalent (parity-tested), disable via 'fast_eval: false'.
+        self.fast_eval = bool(cfg.extras.get('fast_eval', True))
         self.net = self.build_net()
 
     # -- construction ---------------------------------------------------
@@ -154,7 +164,9 @@ class MoCoDADModel:
         cond = (jnp.zeros((b, self.num_coords, self.n_frames_condition,
                            self.n_joints))
                 if self.strategy == 'inject' else None)
-        return self.net.init(rng, x, t, cond)
+        # jit: eager flax init dispatches hundreds of tiny ops, which is
+        # painfully slow over a remote-device tunnel
+        return jax.jit(self.net.init)(rng, x, t, cond)
 
     # -- frame bookkeeping ----------------------------------------------
 
@@ -167,8 +179,20 @@ class MoCoDADModel:
 
     # -- training -------------------------------------------------------
 
+    @staticmethod
+    def _masked_mean(x: jnp.ndarray, sample_mask: Optional[jnp.ndarray]
+                     ) -> jnp.ndarray:
+        """Mean over all elements, with optional per-sample validity weights
+        (for jit-static padded batches; all-ones mask == plain mean)."""
+        if sample_mask is None:
+            return x.mean()
+        m = sample_mask.reshape((-1,) + (1,) * (x.ndim - 1))
+        per_sample = x.shape[0] and np.prod(x.shape[1:])
+        return (x * m).sum() / (sample_mask.sum() * per_sample)
+
     def loss(self, variables: Dict[str, Any], data: jnp.ndarray,
-             rng: jax.Array, *, train: bool = True
+             rng: jax.Array, *, train: bool = True,
+             sample_mask: Optional[jnp.ndarray] = None
              ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
         """Diffusion noise-prediction loss (+ AE reconstruction term)
         (ref `training_step`, models/mocodad.py:187-227).
@@ -201,11 +225,13 @@ class MoCoDADModel:
         pred = F.extract_corrupt(self.strategy, pred, order,
                                  self.n_frames_condition)
 
-        loss_noise = elementwise_loss(self.loss_kind, pred, noise).mean()
+        loss_noise = self._masked_mean(
+            elementwise_loss(self.loss_kind, pred, noise), sample_mask)
         metrics = {'loss_noise': loss_noise}
         loss = loss_noise
         if rec_cond is not None:
-            loss_rec = jnp.square(rec_cond - cond_data).mean()
+            loss_rec = self._masked_mean(jnp.square(rec_cond - cond_data),
+                                         sample_mask)
             loss = loss_noise + self.rec_weight * loss_rec
             metrics['loss_recons'] = loss_rec
         metrics['loss'] = loss
@@ -231,17 +257,24 @@ class MoCoDADModel:
         order = self.frame_order(r_order, b)
         cond_data, corrupt_data = F.select_frames(data, order,
                                                   self.n_frames_condition)
+        dt = self.eval_dtype
+        if dt != data.dtype:
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(dt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
+            data = data.astype(dt)
+            cond_data = None if cond_data is None else cond_data.astype(dt)
         inject_cond = cond_data if self.strategy == 'inject' else None
         cond_emb, _ = self.net.apply(variables, inject_cond,
                                      method=MoCoDADNet.encode_condition)
 
         # Fold the sample axis into the batch: every tensor the U-Net sees
-        # is (S*B, ...), so each of the (noise_steps-1) scan iterations is
-        # one large MXU-friendly launch.
+        # is (B*S, ...), so each of the (noise_steps-1) scan iterations is
+        # one large MXU-friendly launch.  The fold is b-MAJOR (row = b*S+s,
+        # via repeat): under a batch-sharded mesh each device then samples
+        # for its own windows only — no resharding collectives.
         def tile(x):
-            return (None if x is None else
-                    jnp.broadcast_to(x[None], (s,) + x.shape)
-                       .reshape((s * b,) + x.shape[1:]))
+            return None if x is None else jnp.repeat(x, s, axis=0)
 
         cond_tiled = tile(cond_data)
         emb_tiled = tile(cond_emb)
@@ -253,28 +286,49 @@ class MoCoDADModel:
         ts = jnp.arange(self.schedule.noise_steps - 1, 0, -1)
         keys = jax.random.split(r_steps, ts.shape[0])
 
+        denoise_fn = self._make_denoise_fn(variables)
+
         def step(x, inputs):
             t_scalar, key = inputs
             x_in = F.assemble_input(self.strategy, cond_tiled, x,
                                     order_tiled, self.n_frames_condition)
             tb = jnp.full((s * b,), t_scalar, dtype=jnp.int32)
-            eps = self.net.apply(variables, x_in, tb, emb_tiled,
-                                 method=MoCoDADNet.denoise)
+            eps = denoise_fn(x_in, tb, emb_tiled)
             eps = F.extract_corrupt(self.strategy, eps, order_tiled,
                                     self.n_frames_condition)
             a = self.schedule.alpha[t_scalar]
             a_hat = self.schedule.alpha_hat[t_scalar]
             beta = self.schedule.beta[t_scalar]
+            # keep the update in the compute dtype (f32 scalars would
+            # silently promote a bf16 chain back to f32)
+            c1 = (1.0 / jnp.sqrt(a)).astype(x.dtype)
+            c2 = ((1.0 - a) / jnp.sqrt(1.0 - a_hat)).astype(x.dtype)
+            c3 = jnp.sqrt(beta).astype(x.dtype)
             z = jax.random.normal(key, x.shape, dtype=x.dtype)
             z = jnp.where(t_scalar > 1, z, jnp.zeros_like(z))
-            x = (1.0 / jnp.sqrt(a)) * (
-                x - ((1.0 - a) / jnp.sqrt(1.0 - a_hat)) * eps
-            ) + jnp.sqrt(beta) * z
+            x = c1 * (x - c2 * eps) + c3 * z
             return x, None
 
         x, _ = jax.lax.scan(step, x0, (ts, keys))
-        xs = x.reshape((s, b) + x.shape[1:])
-        return aggregate(aggr, self.loss_kind, xs, corrupt_data, rng=r_aggr)
+        xs = x.reshape((b, s) + x.shape[1:]).astype(jnp.float32)
+        xs = jnp.moveaxis(xs, 1, 0)  # (S, B, ...)
+        return aggregate(aggr, self.loss_kind, xs,
+                         corrupt_data.astype(jnp.float32), rng=r_aggr)
+
+    def _make_denoise_fn(self, variables: Dict[str, Any]):
+        """Denoiser for the sampling loop: the layout-optimized forward
+        (ops/fast_unet.py) when enabled, else the module forward."""
+        if self.fast_eval and 'model' in variables.get('batch_stats', {}):
+            from mocodad_tpu.ops.fast_unet import build_fast_denoiser
+            return build_fast_denoiser(
+                variables['params']['model'],
+                variables['batch_stats']['model'],
+                c_in=self.num_coords, n_frames=self.input_n_frames,
+                n_joints=self.n_joints,
+                embedding_dim=self.cfg.embedding_dim,
+                inject_condition=(self.strategy == 'inject'))
+        return lambda x, tb, emb: self.net.apply(
+            variables, x, tb, emb, method=MoCoDADNet.denoise)
 
     def pack_output(self, selected_x, loss_of_selected_x,
                     return_: Optional[str] = None):

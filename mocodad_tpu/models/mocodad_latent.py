@@ -131,7 +131,7 @@ class MoCoDADLatentModel(MoCoDADModel):
         t = jnp.zeros((b,), jnp.int32)
         cond = jnp.zeros((b, self.num_coords, self.n_frames_condition,
                           self.n_joints))
-        return self.net.init(rng, x, t, cond)
+        return jax.jit(self.net.init)(rng, x, t, cond)
 
     def trainable_mask(self, params) -> Any:
         """Stage 'diffusion' freezes the pretrained encoder + condition
@@ -144,7 +144,8 @@ class MoCoDADLatentModel(MoCoDADModel):
 
     # -- training ---------------------------------------------------------
 
-    def loss(self, variables, data, rng, *, train: bool = True):
+    def loss(self, variables, data, rng, *, train: bool = True,
+             sample_mask=None):
         """(ref `MoCoDADlatent.training_step`, mocodad_latent.py:135-181)."""
         r_order, r_t, r_noise, r_drop = jax.random.split(rng, 4)
         b = data.shape[0]
@@ -170,13 +171,15 @@ class MoCoDADLatentModel(MoCoDADModel):
             mutated = {}
 
         metrics: Dict[str, jnp.ndarray] = {}
-        loss = elementwise_loss(self.loss_kind, pred, target).mean()
+        loss = self._masked_mean(
+            elementwise_loss(self.loss_kind, pred, target), sample_mask)
         if self.stage == 'diffusion':
             metrics['loss_noise'] = loss
         else:
             metrics['loss_unet'] = loss
             if rec_cond is not None:
-                loss_rec = jnp.square(rec_cond - cond_data).mean()
+                loss_rec = self._masked_mean(
+                    jnp.square(rec_cond - cond_data), sample_mask)
                 loss = loss + self.rec_weight * loss_rec
                 metrics['loss_recons'] = loss_rec
         metrics['loss'] = loss
@@ -205,8 +208,8 @@ class MoCoDADLatentModel(MoCoDADModel):
 
         latent = self.net.apply(variables, corrupt_data, cond_emb,
                                 method=MoCoDADLatentNet.encode_input)
-        emb_tiled = jnp.broadcast_to(cond_emb[None], (s,) + cond_emb.shape
-                                     ).reshape((s * b,) + cond_emb.shape[1:])
+        # b-major sample fold (see MoCoDADModel.generate)
+        emb_tiled = jnp.repeat(cond_emb, s, axis=0)
         z0 = jax.random.normal(r_init, (s * b, self.latent_embedding_dim),
                                dtype=latent.dtype)
         ts = jnp.arange(self.schedule.noise_steps - 1, 0, -1)
@@ -228,5 +231,5 @@ class MoCoDADLatentModel(MoCoDADModel):
             return z, None
 
         z, _ = jax.lax.scan(step, z0, (ts, keys))
-        zs = z.reshape((s, b, self.latent_embedding_dim))
+        zs = jnp.moveaxis(z.reshape(b, s, self.latent_embedding_dim), 1, 0)
         return aggregate(aggr, self.loss_kind, zs, latent, rng=r_aggr)

@@ -144,7 +144,9 @@ class STGCNNLayer(nn.Module):
             eb = self.param('emb_bias', torch_bias_for_fan_in(self.emb_dim),
                             (self.out_channels,))
             emb = jax.nn.silu(t_emb) @ ek + eb
-            y = y + emb[:, :, None, None]
+            # cast: the sinusoidal embedding path runs in f32; adding it
+            # raw would promote a bf16 activation chain back to f32
+            y = y + emb.astype(y.dtype)[:, :, None, None]
         return y
 
 

@@ -1,0 +1,206 @@
+"""Layout-optimized eval-mode U-Net forward (the sampling hot path).
+
+The module-based forward (nn/unet.py) keeps activations in (N, C, T, V)
+and therefore materializes a transpose around every channel mix and keeps
+the tiny T*V axis in the MXU lanes.  This module runs the identical
+computation in a "graph-major" layout:
+
+    activations live as the 2-D matrix family of (TV, N, C):
+      A-form (TVin, N*C)   — graph mixes are LEFT matmuls  K^T @ A
+      B-form (TV*N, C_in)  — channel mixes are RIGHT matmuls B @ W
+
+    A-form <-> B-form is a *pure reshape* (both are row-major views of
+    (TV, N, C)), so the whole U-Net lowers to an alternating chain of 2-D
+    matmuls with NO transposes, full 128-lane utilization on the huge
+    (N*C | TV*N) dimension, and XLA-fused BN/PReLU/residual epilogues.
+
+Joint down/up-scaling becomes a block-diagonal left operator
+D[(t,v),(t,w)] = M[v,w]; its per-joint BatchNorm becomes a per-ROW
+scale/shift vector.  BatchNorm uses folded running statistics (eval mode),
+PReLU is elementwise, and the time/condition embedding adds per (N, C_out).
+
+Numerical parity with the module forward is tested in
+tests/test_fast_unet.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mocodad_tpu.nn.components import sinusoidal_pos_encoding
+from mocodad_tpu.nn.stsgcn import compose_graph_operator
+
+
+def _fold_bn(bn_params: Dict, bn_stats: Dict, eps: float = 1e-5):
+    """Running-stat BatchNorm -> (scale, shift)."""
+    var = bn_stats['var']
+    mean = bn_stats['mean']
+    scale = bn_params['scale'] / jnp.sqrt(var + eps)
+    shift = bn_params['bias'] - mean * scale
+    return scale, shift
+
+
+def _block_diag_joint_mix(kernel: jnp.ndarray, t_dim: int) -> jnp.ndarray:
+    """(V_in, V_out) joint-mix kernel -> (T*V_in, T*V_out) block-diagonal
+    left operator."""
+    v_in, v_out = kernel.shape
+    eye = jnp.eye(t_dim, dtype=kernel.dtype)
+    # D[(t,v),(s,w)] = eye[t,s] * kernel[v,w]
+    d = jnp.einsum('ts,vw->tvsw', eye, kernel)
+    return d.reshape(t_dim * v_in, t_dim * v_out)
+
+
+class _Layer:
+    """Precomputed constants for one ST-GCNN layer in graph-major form."""
+
+    def __init__(self, p: Dict, s: Dict, t_dim: int, v_dim: int,
+                 c_in: int, c_out: int):
+        self.c_in, self.c_out = c_in, c_out
+        # left operator: K^T so that  out = K_T @ X  ((TV_out, TV_in) @ ...)
+        self.k_t = compose_graph_operator(p['gcn']['T'], p['gcn']['A']).T
+        self.w = p['tcn_kernel']
+        self.b = p.get('tcn_bias')
+        self.bn_scale, self.bn_shift = _fold_bn(p['tcn_bn'], s['tcn_bn'])
+        self.has_res = 'residual_kernel' in p
+        if self.has_res:
+            self.rw = p['residual_kernel']
+            self.rb = p.get('residual_bias')
+            self.rbn_scale, self.rbn_shift = _fold_bn(p['residual_bn'],
+                                                      s['residual_bn'])
+        self.prelu = p['PReLU_0']['negative_slope']
+        self.has_emb = 'emb_kernel' in p
+        if self.has_emb:
+            self.ek, self.eb = p['emb_kernel'], p['emb_bias']
+
+    def __call__(self, x: jnp.ndarray, n: int,
+                 emb: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """x: A-form (TV, N*C_in) -> A-form (TV, N*C_out)."""
+        tv = x.shape[0]
+        dt = x.dtype
+
+        def to_b(a, c):   # (TV, N*C) -> (TV*N, C)
+            return a.reshape(tv * n, c)
+
+        def to_a(b, c):   # (TV*N, C) -> (TV, N*C)
+            return b.reshape(tv, n * c)
+
+        y = self.k_t.astype(dt) @ x                      # graph mix
+        y = to_b(y, self.c_in) @ self.w.astype(dt)       # channel mix
+        if self.b is not None:
+            y = y + self.b.astype(dt)
+        y = y * self.bn_scale.astype(dt) + self.bn_shift.astype(dt)
+
+        if self.has_res:
+            r = to_b(x, self.c_in) @ self.rw.astype(dt)
+            if self.rb is not None:
+                r = r + self.rb.astype(dt)
+            r = r * self.rbn_scale.astype(dt) + self.rbn_shift.astype(dt)
+        else:
+            r = to_b(x, self.c_in)
+        y = y + r
+        a = self.prelu.astype(dt)
+        y = jnp.where(y >= 0, y, a * y)                  # PReLU
+
+        if self.has_emb and emb is not None:
+            e = jax.nn.silu(emb) @ self.ek + self.eb     # (N, C_out), f32
+            y = y.reshape(tv, n, self.c_out) + e.astype(dt)[None]
+            return y.reshape(tv, n * self.c_out)
+        return to_a(y, self.c_out)
+
+
+class _JointMix:
+    """Joint up/downscale + per-joint BN as a left operator + row affine."""
+
+    def __init__(self, p: Dict, s: Dict, t_dim: int):
+        self.d = _block_diag_joint_mix(p['kernel'], t_dim)
+        v_out = p['kernel'].shape[1]
+        # bias and BN act per output joint w -> per-row over (t, w)
+        bn_scale, bn_shift = _fold_bn(p['BatchNorm_0'], s['BatchNorm_0'])
+        bias = p.get('bias', jnp.zeros(v_out, self.d.dtype))
+        row_scale = jnp.tile(bn_scale, t_dim)            # (T*V_out,)
+        row_shift = jnp.tile(bias * bn_scale + bn_shift, t_dim)
+        self.row_scale = row_scale[:, None]
+        self.row_shift = row_shift[:, None]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dt = x.dtype
+        y = self.d.T.astype(dt) @ x
+        return y * self.row_scale.astype(dt) + self.row_shift.astype(dt)
+
+
+def build_fast_denoiser(params: Dict, batch_stats: Dict, *, c_in: int,
+                        n_frames: int, n_joints: int, embedding_dim: int,
+                        unet_down_channels=(16, 32, 32, 64, 64, 128, 64),
+                        unet_up_channels=None,
+                        inject_condition: bool = True):
+    """Build fn(x_nctv, t, cond_emb) -> eps_nctv from an STSAEUnet variables
+    tree ('model' subtree of MoCoDADNet), numerically matching
+    nn/unet.py:STSAEUnet.__call__ in eval mode."""
+    from mocodad_tpu.nn.unet import joint_pyramid
+
+    jp = joint_pyramid(n_joints)
+    dn = list(unet_down_channels)
+    up = (list(unet_up_channels) if unet_up_channels is not None
+          else [64, 32, 32, c_in])
+    p, s = params, batch_stats
+    t_dim = n_frames
+
+    def L(name, v, ci, co):
+        return _Layer(p[name], s[name], t_dim, v, ci, co)
+
+    layers_a = [L('p1a', jp['a'], c_in, dn[0]),
+                L('d1_0', jp['a'], dn[0], dn[1]),
+                L('d1_1', jp['a'], dn[1], dn[2])]
+    down1 = _JointMix(p['down1'], s['down1'], t_dim)
+    layers_b = [L('d2_0', jp['b'], dn[2], dn[3]),
+                L('d2_1', jp['b'], dn[3], dn[4])]
+    down2 = _JointMix(p['down2'], s['down2'], t_dim)
+    layers_c = [L('d3_0', jp['c'], dn[4], dn[5]),
+                L('d3_1', jp['c'], dn[5], dn[6])]
+    up3 = _JointMix(p['up3'], s['up3'], t_dim)
+    layers_u4 = [L('u4_0', jp['b'], dn[-1], up[0]),
+                 L('u4_1', jp['b'], up[0], up[1])]
+    up2 = _JointMix(p['up2'], s['up2'], t_dim)
+    layers_u3 = [L('u3_0', jp['a'], up[1], up[2]),
+                 L('u3_1', jp['a'], up[2], up[3])]
+
+    def fn(x_nctv: jnp.ndarray, t: jnp.ndarray,
+           cond_emb: Optional[jnp.ndarray]) -> jnp.ndarray:
+        n = x_nctv.shape[0]
+        dt = x_nctv.dtype
+        emb = sinusoidal_pos_encoding(t, embedding_dim)
+        if inject_condition and cond_emb is not None:
+            emb = emb + cond_emb
+
+        # (N, C, T, V) -> A-form (T*V, N*C): one transpose in, one out
+        x = jnp.transpose(x_nctv, (2, 3, 0, 1)).reshape(
+            t_dim * jp['a'], n * c_in)
+
+        f = x
+        for l in layers_a:
+            f = l(f, n, emb)
+        d1 = f
+        f = down1(f)
+        for l in layers_b:
+            f = l(f, n, emb)
+        d2 = f
+        f = down2(f)
+        for l in layers_c:
+            f = l(f, n, emb)
+        f = up3(f) + d2
+        for l in layers_u4:
+            f = l(f, n, emb)
+        f = up2(f) + d1
+        for l in layers_u3:
+            f = l(f, n, emb)
+        f = f + x
+
+        out = f.reshape(t_dim, jp['a'], n, c_in)
+        return jnp.transpose(out, (2, 3, 0, 1))
+
+    return fn

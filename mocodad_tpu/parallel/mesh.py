@@ -1,0 +1,51 @@
+"""Device-mesh construction and sharding helpers.
+
+Replaces the reference's Lightning DDPStrategy + NCCL allreduce
+(train_MoCoDAD.py:70-72) with jax.sharding: a 1-D 'data' mesh over the
+chips, batches sharded along it, parameters/optimizer state replicated.
+Gradient reduction is inserted by XLA (psum over ICI) when the jitted
+train step consumes a sharded batch and produces replicated updates — no
+explicit collectives needed at this model scale.
+
+The same code paths drive a single chip (mesh of 1), a real multi-chip
+slice, or the 8-device virtual CPU mesh used in tests
+(XLA_FLAGS=--xla_force_host_platform_device_count=8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices: Optional[Sequence] = None,
+              axis_name: str = 'data') -> Mesh:
+    """1-D data-parallel mesh over the first n available devices."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            if n_devices > len(devices):
+                raise ValueError(
+                    f'requested {n_devices} devices, have {len(devices)}')
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = 'data') -> NamedSharding:
+    """Shard along the leading (batch) axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis_name: str = 'data') -> dict:
+    """device_put every array in the batch with its leading axis sharded
+    over the mesh."""
+    sh = batch_sharding(mesh, axis_name)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}

@@ -1,0 +1,260 @@
+"""Training / evaluation driver: the framework's replacement for the
+reference's PyTorch-Lightning Trainer (train_MoCoDAD.py:70-75).
+
+Owns what Lightning owned there: epoch loops, device placement (pjit-style
+data sharding over a mesh instead of DDP/NCCL), metric logging with the
+reference's metric names, monitored-metric checkpointing (top-2), EMA, and
+the validation-AUC epoch hook.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mocodad_tpu.config import Config
+from mocodad_tpu.data import (affine_transform_matrices, apply_affine_batch,
+                              build_dataset, make_loader, num_batches)
+from mocodad_tpu.data.pipeline import PoseWindows
+from mocodad_tpu.eval.harness import post_processing_from_config
+from mocodad_tpu.models import build_model
+from mocodad_tpu.models.losses import elementwise_loss
+from mocodad_tpu.parallel import make_mesh, shard_batch
+from mocodad_tpu.training.checkpoint import (TopKCheckpointManager,
+                                             load_state_dict, merge_matching)
+from mocodad_tpu.training.ema import ema_init, ema_update
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any        # None when EMA disabled
+    step: jnp.ndarray
+
+
+def monitored_metric_for(cfg: Config):
+    """(metric name, mode), mirroring train_MoCoDAD.py:42-50."""
+    if cfg.diffusion_on_latent is not None and cfg.stage == 'pretrain':
+        return 'pretrain_rec_loss', 'min'
+    if cfg.validation:
+        return 'AUC', 'max'
+    return 'loss_noise', 'min'
+
+
+class Trainer:
+
+    def __init__(self, cfg: Config, model=None, mesh=None,
+                 n_devices: Optional[int] = None):
+        self.cfg = cfg
+        self.model = model if model is not None else build_model(cfg)
+        self.mesh = mesh if mesh is not None else make_mesh(n_devices)
+        self.trans_mats = affine_transform_matrices(max(cfg.num_transform, 1))
+        self.use_ema = bool(cfg.use_ema)
+        self._train_step = None
+        self._eval_step = None
+        self._log_every = int(cfg.extras.get('log_every_n_steps', 20))
+
+    # ---- optimizer ------------------------------------------------------
+
+    def make_optimizer(self, steps_per_epoch: int):
+        """Adam + per-epoch ExponentialLR(gamma=0.99)
+        (ref: models/mocodad.py:324-334)."""
+        schedule = optax.exponential_decay(
+            init_value=self.cfg.opt_lr, transition_steps=steps_per_epoch,
+            decay_rate=0.99, staircase=True)
+        return optax.adam(schedule), schedule
+
+    # ---- state ----------------------------------------------------------
+
+    def init_state(self, steps_per_epoch: int, rng: jax.Array) -> TrainState:
+        variables = self.model.init_variables(rng)
+        params = variables['params']
+        batch_stats = variables.get('batch_stats', {})
+
+        if getattr(self.model, 'stage', None) == 'diffusion':
+            params = self._load_pretrained_into(params)
+
+        opt, _ = self.make_optimizer(steps_per_epoch)
+        self._opt = opt
+        self._update_mask = (self.model.trainable_mask(params)
+                             if hasattr(self.model, 'trainable_mask')
+                             else None)
+        state = TrainState(
+            params=params, batch_stats=batch_stats,
+            opt_state=jax.jit(opt.init)(params),
+            ema_params=ema_init(params) if self.use_ema else None,
+            step=jnp.zeros((), jnp.int32))
+        # place replicated over the mesh up front so the first train step
+        # compiles with the same shardings as every later one
+        from mocodad_tpu.parallel import replicated_sharding
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def _load_pretrained_into(self, params):
+        """Latent diffusion stage: transfer matching weights from the
+        pretrain checkpoint (strict=False; ref: mocodad_latent.py:223-228)."""
+        path = self.cfg.pretrained_model_ckpt_path
+        if not path:
+            raise ValueError('Pretrained model checkpoint path not specified')
+        raw = load_state_dict(path)
+        src = raw.get('params', raw)
+        return merge_matching(params, src)
+
+    # ---- jitted steps ----------------------------------------------------
+
+    def _build_train_step(self):
+        model, opt = self.model, self._opt
+        mats = self.trans_mats
+        mask_tree = self._update_mask
+        use_ema = self.use_ema
+
+        def train_step(state: TrainState, batch, rng):
+            data = apply_affine_batch(batch['data'], mats, batch['trans'])
+
+            def loss_fn(params):
+                loss, metrics, mutated = model.loss(
+                    {'params': params, 'batch_stats': state.batch_stats},
+                    data, rng, train=True, sample_mask=batch['mask'])
+                return loss, (metrics, mutated)
+
+            grads, (metrics, mutated) = jax.grad(loss_fn, has_aux=True)(
+                state.params)
+            updates, opt_state = opt.update(grads, state.opt_state,
+                                            state.params)
+            if mask_tree is not None:
+                updates = jax.tree_util.tree_map(
+                    lambda u, m: u if m else jnp.zeros_like(u),
+                    updates, mask_tree)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = state.ema_params
+            if use_ema:
+                ema_params = ema_update(ema_params, params)
+            new_state = TrainState(
+                params=params,
+                batch_stats=mutated.get('batch_stats', state.batch_stats),
+                opt_state=opt_state, ema_params=ema_params,
+                step=state.step + 1)
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        model = self.model
+        mats = self.trans_mats
+        n_cond = model.n_frames_condition
+
+        def eval_step(variables, batch, rng):
+            data = apply_affine_batch(batch['data'], mats, batch['trans'])
+            if getattr(model, 'stage', None) == 'pretrain':
+                # validation metric is plain reconstruction loss
+                # (ref: mocodad_latent.py:192-197, 217-218)
+                from mocodad_tpu.models import frames as F
+                order = model.frame_order(rng, data.shape[0])
+                _, corrupt = F.select_frames(data, order, n_cond)
+                pose, _ = model.generate(variables, data, rng)
+                per = elementwise_loss(model.loss_kind, pose, corrupt)
+                return per.reshape(per.shape[0], -1).mean(axis=-1)
+            _, loss = model.generate(variables, data, rng)
+            return loss
+
+        return jax.jit(eval_step)
+
+    # ---- loops -----------------------------------------------------------
+
+    def evaluate(self, ds: PoseWindows, variables, rng,
+                 collect: bool = False):
+        """Run generation over a dataset; returns (per-window outputs,
+        trans, meta, frames) as host arrays with padding stripped."""
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        outs, transs, metas, framess = [], [], [], []
+        for i, batch in enumerate(make_loader(ds, self.cfg.batch_size)):
+            sb = shard_batch({'data': batch['data'], 'trans': batch['trans']},
+                             self.mesh)
+            loss = self._eval_step(
+                {'params': variables['params'],
+                 'batch_stats': variables.get('batch_stats', {})},
+                sb, jax.random.fold_in(rng, i))
+            valid = batch['mask'] > 0
+            outs.append(np.asarray(loss)[valid])
+            transs.append(batch['trans'][valid])
+            metas.append(batch['meta'][valid])
+            framess.append(batch['frames'][valid])
+        return (np.concatenate(outs), np.concatenate(transs),
+                np.concatenate(metas), np.concatenate(framess))
+
+    def validation_metric(self, ds: PoseWindows, variables, rng) -> Dict:
+        out, trans, meta, frames = self.evaluate(ds, variables, rng)
+        if getattr(self.model, 'stage', None) == 'pretrain':
+            return {'pretrain_rec_loss': float(out.mean())}
+        auc = post_processing_from_config(out, trans, meta, frames, self.cfg)
+        return {'AUC': float(auc)}
+
+    def fit(self, train_ds: PoseWindows, val_ds: Optional[PoseWindows] = None,
+            n_epochs: Optional[int] = None) -> TrainState:
+        cfg = self.cfg
+        n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
+        steps_per_epoch = num_batches(train_ds, cfg.batch_size)
+        rng = jax.random.key(cfg.seed)
+        state = self.init_state(steps_per_epoch, rng)
+        self._train_step = self._build_train_step()
+
+        monitor, mode = monitored_metric_for(cfg)
+        ckpt = TopKCheckpointManager(cfg.ckpt_dir, monitor, mode, k=2)
+
+        log_path = os.path.join(cfg.ckpt_dir, 'metrics.csv')
+        log_f = open(log_path, 'a')
+
+        step = 0
+        for epoch in range(n_epochs):
+            epoch_metrics: Dict[str, list] = {}
+            t0 = time.time()
+            for batch in make_loader(train_ds, cfg.batch_size, shuffle=True,
+                                     seed=cfg.seed + epoch):
+                sb = shard_batch(batch, self.mesh)
+                state, metrics = self._train_step(
+                    state, sb, jax.random.fold_in(rng, state.step))
+                step += 1
+                for k, v in metrics.items():
+                    epoch_metrics.setdefault(k, []).append(v)
+                if step % self._log_every == 0:
+                    vals = {k: float(v) for k, v in metrics.items()}
+                    line = ' '.join(f'{k}={v:.5f}' for k, v in vals.items())
+                    print(f'epoch {epoch} step {step}: {line}', flush=True)
+                    log_f.write(f'{epoch},{step},' + ','.join(
+                        f'{k}={v}' for k, v in vals.items()) + '\n')
+
+            means = {k: float(jnp.mean(jnp.stack(v)))
+                     for k, v in epoch_metrics.items()}
+            dt = time.time() - t0
+            wps = len(train_ds) / dt if dt > 0 else 0.0
+
+            val_metrics = {}
+            if val_ds is not None:
+                variables = {'params': state.ema_params if self.use_ema
+                             else state.params,
+                             'batch_stats': state.batch_stats}
+                val_metrics = self.validation_metric(
+                    val_ds, variables,
+                    jax.random.fold_in(rng, (1 << 30) + epoch))
+            means.update(val_metrics)
+            line = ' '.join(f'{k}={v:.5f}' for k, v in means.items())
+            print(f'[epoch {epoch}] {line} ({wps:.0f} windows/s)', flush=True)
+            log_f.write(f'{epoch},epoch_end,' + ','.join(
+                f'{k}={v}' for k, v in means.items()) + '\n')
+            log_f.flush()
+
+            value = means.get(monitor)
+            if value is not None:
+                ckpt.save(state, epoch, value)
+        log_f.close()
+        return state

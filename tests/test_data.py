@@ -203,3 +203,50 @@ def test_temporal_crop_shape(rng):
     pose = rng.normal(size=(2, 12, 17))
     out = TR.temporal_crop(pose, 6, rng=np.random.default_rng(0))
     assert out.shape == pose.shape
+
+
+def test_aug_library_shapes(rng):
+    from mocodad_tpu.data.transforms import (axis_mask, gaussian_blur,
+                                             gaussian_noise, limbs_mask,
+                                             random_rotate, random_time_flip,
+                                             resample, shear, strong_augment,
+                                             temporal_shift)
+    g = np.random.default_rng(0)
+    pose2 = rng.normal(size=(2, 12, 17))
+    pose3 = rng.normal(size=(3, 12, 17))
+    assert random_rotate(pose2, rng=g).shape == pose2.shape
+    assert shear(pose3, rng=g).shape == pose3.shape
+    assert gaussian_blur(pose2, rng=np.random.default_rng(1)).shape == pose2.shape
+    assert temporal_shift(pose2, rng=g).shape == pose2.shape
+    assert strong_augment(pose2, rng=g).shape == pose2.shape
+    out = limbs_mask(pose2, p=1.0, rng=g)
+    assert out.shape == pose2.shape and np.any(out == 0)
+    out = axis_mask(pose2, p=1.0, rng=g)
+    assert (out[0] == 0).all() or (out[1] == 0).all()
+    assert random_time_flip(pose2, p=1.0, rng=g).shape == pose2.shape
+    r = resample(pose2, rng=np.random.default_rng(5))
+    assert r.shape[0] == 2 and r.shape[2] == 17 and 7 <= r.shape[1] <= 16
+
+
+def test_resample_matches_scipy(rng):
+    from scipy.signal import resample as scipy_resample
+    from mocodad_tpu.data.transforms import resample
+    pose = rng.normal(size=(2, 12, 17))
+    # fix the random rate by seeding identically
+    g = np.random.default_rng(3)
+    rate = int(g.integers(7, 14)) * 0.1
+    want = scipy_resample(pose, int(12 * rate), axis=1)
+    got = resample(pose, rng=np.random.default_rng(3))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_gaussian_blur_constant_signal():
+    # the reference kernel is unnormalized: a constant signal scales by
+    # sum(w) away from the (zero-padded) edges
+    from mocodad_tpu.data.transforms import gaussian_blur
+    pose = np.ones((2, 40, 17))
+    g = np.random.default_rng(0)
+    out = gaussian_blur(pose, kernel=15, sigma=(1.0, 1.0), p=1.0, rng=g)
+    idx = np.arange(-7, 8)
+    wsum = np.exp(-idx**2 / 2.0).sum()
+    np.testing.assert_allclose(out[:, 20], wsum, rtol=1e-9)

@@ -1,0 +1,173 @@
+import os
+
+import numpy as np
+import pytest
+
+from mocodad_tpu.eval import (compute_var_matrix, gaussian_filter1d,
+                              pad_scores, post_processing, roc_auc_score,
+                              score_process)
+from mocodad_tpu.eval.scoring import get_avenue_mask, ranges
+
+
+def test_roc_auc_matches_sklearn(rng):
+    import sklearn.metrics as skm
+    for _ in range(5):
+        y = (rng.random(200) < 0.3).astype(int)
+        if y.sum() in (0, 200):
+            continue
+        s = rng.normal(size=200)
+        # add ties
+        s[::7] = s[0]
+        np.testing.assert_allclose(roc_auc_score(y, s),
+                                   skm.roc_auc_score(y, s), rtol=1e-12)
+
+
+def test_roc_auc_degenerate_raises():
+    with pytest.raises(ValueError):
+        roc_auc_score(np.zeros(10), np.arange(10.0))
+
+
+@pytest.mark.parametrize('sigma', [0.5, 2, 15, 30])
+def test_gaussian_filter_matches_scipy(sigma, rng):
+    from scipy.ndimage import gaussian_filter1d as scipy_g
+    x = rng.normal(size=300)
+    np.testing.assert_allclose(gaussian_filter1d(x, sigma),
+                               scipy_g(x, sigma), rtol=1e-9, atol=1e-12)
+
+
+def test_gaussian_filter_short_signal_vs_scipy(rng):
+    # pad width exceeds the signal length -> repeated reflection
+    from scipy.ndimage import gaussian_filter1d as scipy_g
+    x = rng.normal(size=20)
+    np.testing.assert_allclose(gaussian_filter1d(x, 30), scipy_g(x, 30),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_compute_var_matrix():
+    pos = np.array([2.0, 5.0])
+    frames = np.array([[1, 2, 3], [4, 5, 6]])  # 1-indexed
+    m = compute_var_matrix(pos, frames, 8)
+    want = np.zeros((2, 8))
+    want[0, 0:3] = 2.0
+    want[1, 3:6] = 5.0
+    np.testing.assert_array_equal(m, want)
+
+
+def test_score_process_matches_reference_semantics(rng):
+    from scipy.ndimage import gaussian_filter1d as scipy_g
+    score = rng.random(100)
+    got = score_process(score, shift=18, kernel_size=30)
+    shifted = np.zeros_like(score)
+    shifted[18:] = score[:-18]
+    np.testing.assert_allclose(got, scipy_g(shifted, 30), rtol=1e-9)
+    with pytest.raises(ValueError):
+        score_process(score, shift=0, kernel_size=30)
+
+
+def test_ranges():
+    assert ranges([0, 1, 2, 5, 6, 9]) == [(0, 2), (5, 6), (9, 9)]
+    assert ranges([3]) == [(3, 3)]
+    assert ranges([]) == []
+
+
+def test_pad_scores_zeroes_absence_neighbourhood():
+    gt = np.zeros(20)
+    loss = np.zeros(20)
+    loss[0:5] = 1.0    # present frames 0..4
+    loss[12:20] = 2.0  # present frames 12..19
+    # absence interval is 5..11 (within range(len(gt)-1) = 0..18)
+    out = pad_scores(loss.copy(), gt, pad_size=2)
+    # interval (5, 11) widened by 2 -> zero out [3, 13)
+    assert np.all(out[3:13] == 0)
+    assert np.all(out[0:3] == 1.0)
+    assert np.all(out[13:20] == 2.0)
+
+
+def test_pad_scores_full_absence_untouched():
+    gt = np.zeros(10)
+    loss = np.zeros(10)
+    loss[9] = 3.0  # only the final frame scored; interval (0, 8) is "whole"
+    out = pad_scores(loss.copy(), gt, pad_size=2)
+    assert out[9] == 3.0
+
+
+def test_avenue_mask_lengths():
+    masks = get_avenue_mask()
+    assert {k: len(v) for k, v in masks.items()} == {
+        1: 1439, 2: 1211, 3: 923, 6: 1283, 16: 740}
+
+
+def _write_gt(dirpath, scene, clip, gt):
+    os.makedirs(dirpath, exist_ok=True)
+    np.save(os.path.join(dirpath, f'{scene}_{clip}.npy'), gt)
+
+
+def test_post_processing_perfect_separation(tmp_path):
+    # Two clips, one actor each; windows covering every frame; anomalous
+    # frames get much higher window losses -> AUC must be ~1.
+    gt_dir = str(tmp_path / 'gt')
+    n_frames = 120
+    rngs = np.random.default_rng(0)
+    outs, metas, frames_list, trans_list = [], [], [], []
+    for clip in (1, 2):
+        gt = np.zeros(n_frames, dtype=int)
+        gt[60:90] = 1
+        _write_gt(gt_dir, 1, clip, gt)
+        # sliding windows of length 6, stride 1
+        starts = np.arange(1, n_frames - 6 + 2)  # 1-indexed frames
+        fr = starts[:, None] + np.arange(6)[None, :]
+        # shift=1 -> score at frame f comes from window at f-1; give high
+        # loss to windows whose shifted footprint covers gt frames
+        loss = np.where((fr.max(1) >= 60) & (fr.min(1) <= 92), 5.0, 0.1)
+        loss = loss + rngs.normal(0, 0.01, loss.shape)
+        outs.append(loss)
+        frames_list.append(fr)
+        m = np.zeros((len(starts), 4), dtype=int)
+        m[:, 0], m[:, 1], m[:, 2], m[:, 3] = 1, clip, 7, starts
+        metas.append(m)
+        trans_list.append(np.zeros(len(starts), dtype=int))
+    auc = post_processing(
+        np.concatenate(outs), np.concatenate(trans_list),
+        np.concatenate(metas), np.concatenate(frames_list),
+        gt_path=gt_dir, num_transform=1, dataset_name='UBnormal',
+        split='test', use_hr=False, pad_size=-1, filter_kernel_size=4,
+        frames_shift=1)
+    assert auc > 0.95
+
+
+def test_post_processing_multi_actor_and_transforms(tmp_path):
+    gt_dir = str(tmp_path / 'gt2')
+    n_frames = 60
+    gt = np.zeros(n_frames, dtype=int)
+    gt[30:45] = 1
+    _write_gt(gt_dir, 2, 3, gt)
+    starts = np.arange(1, n_frames - 6 + 2)
+    fr = starts[:, None] + np.arange(6)[None, :]
+    rows = []
+    for trans in (0, 1):
+        for actor in (1, 2):
+            loss = np.where((fr.max(1) >= 30) & (fr.min(1) <= 46),
+                            3.0 if actor == 1 else 1.0, 0.05)
+            meta = np.zeros((len(starts), 4), dtype=int)
+            meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3] = 2, 3, actor, starts
+            rows.append((loss, np.full(len(starts), trans), meta, fr))
+    out = np.concatenate([r[0] for r in rows])
+    trans = np.concatenate([r[1] for r in rows])
+    meta = np.concatenate([r[2] for r in rows])
+    frames = np.concatenate([r[3] for r in rows])
+    auc = post_processing(out, trans, meta, frames, gt_path=gt_dir,
+                          num_transform=2, dataset_name='UBnormal',
+                          split='test', use_hr=False, pad_size=-1,
+                          filter_kernel_size=2, frames_shift=1)
+    assert auc > 0.9
+
+
+def test_post_processing_rejects_pose_output(tmp_path):
+    gt_dir = str(tmp_path / 'gt3')
+    _write_gt(gt_dir, 1, 1, np.zeros(10, dtype=int))
+    with pytest.raises(ValueError):
+        post_processing(np.zeros((4, 2, 3, 17)), np.zeros(4),
+                        np.zeros((4, 4), int), np.zeros((4, 6), int),
+                        gt_path=gt_dir, num_transform=1,
+                        dataset_name='UBnormal', split='test', use_hr=False,
+                        pad_size=-1, filter_kernel_size=2, frames_shift=1)

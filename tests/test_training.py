@@ -1,0 +1,126 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mocodad_tpu.config import Config
+from mocodad_tpu.models import MoCoDADModel
+from mocodad_tpu.parallel import make_mesh, shard_batch
+from mocodad_tpu.training.checkpoint import (TopKCheckpointManager,
+                                             load_checkpoint,
+                                             load_state_dict, merge_matching,
+                                             restore_variables,
+                                             save_checkpoint)
+from mocodad_tpu.training.ema import ema_init, ema_update
+from mocodad_tpu.training.loop import Trainer, monitored_metric_for
+
+
+def test_monitored_metric_selection():
+    assert monitored_metric_for(Config(validation=True)) == ('AUC', 'max')
+    assert monitored_metric_for(Config(validation=False)) == \
+        ('loss_noise', 'min')
+    assert monitored_metric_for(
+        Config(diffusion_on_latent=True, stage='pretrain')) == \
+        ('pretrain_rec_loss', 'min')
+    # latent diffusion stage with validation -> AUC
+    assert monitored_metric_for(
+        Config(diffusion_on_latent=True, stage='diffusion',
+               validation=True)) == ('AUC', 'max')
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {'params': {'w': np.arange(6, dtype=np.float32).reshape(2, 3)},
+             'step': np.int32(7)}
+    path = str(tmp_path / 'x.ckpt')
+    save_checkpoint(path, state, meta={'epoch': 1})
+    restored = load_checkpoint(path, jax.tree_util.tree_map(np.zeros_like,
+                                                            state))
+    np.testing.assert_array_equal(restored['params']['w'],
+                                  state['params']['w'])
+    assert os.path.exists(path + '.json')
+
+
+def test_topk_manager_keeps_best(tmp_path):
+    mgr = TopKCheckpointManager(str(tmp_path), monitor='AUC', mode='max', k=2)
+    state = {'w': np.ones(3)}
+    mgr.save(state, 0, 0.5)
+    mgr.save(state, 1, 0.7)
+    mgr.save(state, 2, 0.6)
+    mgr.save(state, 3, 0.4)  # not top-2
+    kept = sorted(f for f in os.listdir(tmp_path)
+                  if f.startswith('epoch=') and f.endswith('.ckpt'))
+    assert kept == ['epoch=1-AUC=0.700000.ckpt', 'epoch=2-AUC=0.600000.ckpt']
+    assert os.path.exists(tmp_path / 'best_weights.ckpt')
+    assert os.path.exists(tmp_path / 'last.ckpt')
+    assert mgr.best == 0.7
+
+
+def test_merge_matching_partial_load():
+    target = {'a': np.zeros((2, 2)), 'b': {'c': np.zeros(3)},
+              'd': np.zeros(4)}
+    source = {'a': np.ones((2, 2)), 'b': {'c': np.ones(5)},  # 'c' mismatched
+              'extra': np.ones(1)}
+    merged = merge_matching(target, source)
+    np.testing.assert_array_equal(merged['a'], np.ones((2, 2)))
+    np.testing.assert_array_equal(merged['b']['c'], np.zeros(3))  # kept
+    np.testing.assert_array_equal(merged['d'], np.zeros(4))
+
+
+def test_ema_update_moves_toward_params():
+    ema = {'w': jnp.zeros(3)}
+    params = {'w': jnp.ones(3)}
+    out = ema_update(ema, params, 0.9)
+    np.testing.assert_allclose(np.asarray(out['w']), 0.1 * np.ones(3),
+                               rtol=1e-6)
+
+
+def _tiny_cfg(tmp_path, **kw):
+    base = dict(conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
+                seg_len=6, num_coords=2, embedding_dim=16, h_dim=32,
+                latent_dim=16, channels=[32, 16, 32], dropout=0.0,
+                noise_steps=10, n_generated_samples=2, batch_size=64,
+                aggregation_strategy='best', conditioning_architecture='AE',
+                ckpt_dir=str(tmp_path), num_transform=1, opt_lr=1e-3,
+                seed=0)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_train_step_on_8_device_mesh(tmp_path):
+    from mocodad_tpu.data.pipeline import PoseWindows
+    cfg = _tiny_cfg(tmp_path)
+    rng = np.random.default_rng(0)
+    ds = PoseWindows(
+        data=rng.normal(size=(256, 2, 6, 17)).astype(np.float32) * 0.1,
+        meta=np.zeros((256, 4), np.int64),
+        frames=np.tile(np.arange(1, 7, dtype=np.int32), (256, 1)),
+        num_transform=1)
+    mesh = make_mesh(8)
+    trainer = Trainer(cfg, mesh=mesh)
+    state = trainer.fit(ds, n_epochs=2)
+    assert int(state.step) == 2 * (256 // 64)
+    # checkpoints written under the monitored metric
+    assert os.path.exists(os.path.join(cfg.ckpt_dir, 'last.ckpt'))
+    assert os.path.exists(os.path.join(cfg.ckpt_dir, 'best_weights.ckpt'))
+    # params replicated across the mesh, finite
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_restore_variables_roundtrip(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    model = MoCoDADModel(cfg)
+    variables = model.init_variables(jax.random.key(0))
+    state = {'params': variables['params'],
+             'batch_stats': variables['batch_stats'],
+             'opt_state': {}, 'ema_params': None, 'step': np.int32(3)}
+    path = str(tmp_path / 'm.ckpt')
+    save_checkpoint(path, state)
+    template = model.init_variables(jax.random.key(42))
+    restored = restore_variables(path, template)
+    a = jax.tree_util.tree_leaves(variables['params'])
+    b = jax.tree_util.tree_leaves(restored['params'])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -1,0 +1,41 @@
+"""Train a MoCoDAD model (CLI counterpart of the reference's
+train_MoCoDAD.py: same --config flag, same YAML contract, same monitored
+metrics; Lightning/DDP replaced by the pjit data-parallel Trainer)."""
+
+import argparse
+import random
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description='Pose_AD_Experiment')
+    parser.add_argument('-c', '--config', type=str, required=True)
+    parser.add_argument('--n-devices', type=int, default=None,
+                        help='mesh size (defaults to all visible devices)')
+    cli = parser.parse_args()
+
+    from mocodad_tpu.config import load_config
+    cfg = load_config(cli.config)
+
+    random.seed(cfg.seed)
+    np.random.seed(cfg.seed)
+
+    from mocodad_tpu.data import build_dataset
+    from mocodad_tpu.training.loop import Trainer, monitored_metric_for
+
+    monitor, mode = monitored_metric_for(cfg)
+    print(f'checkpointing on {monitor} ({mode})')
+
+    train_ds = build_dataset(cfg, split=cfg.split)
+    val_ds = build_dataset(cfg, split='validation') if cfg.validation else None
+    print(f'train windows: {train_ds.num_samples} '
+          f'(x{train_ds.num_transform} transforms)')
+
+    trainer = Trainer(cfg, n_devices=cli.n_devices)
+    trainer.fit(train_ds, val_ds)
+    print(f'done; checkpoints in {cfg.ckpt_dir}')
+
+
+if __name__ == '__main__':
+    main()
