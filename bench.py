@@ -14,6 +14,7 @@ BASELINE_WINDOWS_PER_SEC = 2000 as the 1x reference point.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -28,6 +29,7 @@ ITERS = 5
 
 
 def main():
+    import sys
     import jax
     from mocodad_tpu.config import Config
     from mocodad_tpu.models import MoCoDADModel
@@ -39,19 +41,41 @@ def main():
         seg_len=6, num_coords=2, noise_steps=NOISE_STEPS,
         n_generated_samples=N_GENERATED, aggregation_strategy='best',
         batch_size=BATCH, seed=0)
+    # measured fastest correct configuration on v5e (see PERF_NOTES.md):
+    # flattened einsum eval path + bf16 sampling state
+    cfg.extras['eval_dtype'] = 'bfloat16'
+    cfg.extras['fast_eval'] = True
 
     model = MoCoDADModel(cfg)
     variables = model.init_variables(jax.random.key(0))
     data = jax.random.normal(jax.random.key(1), (BATCH, 2, 6, 17))
 
-    gen = jax.jit(lambda v, d, r: model.generate(v, d, r))
+    gen = None
+    label = 'xla-fast-bf16'
+    # The Pallas megakernel is experimental: Mosaic compile times for the
+    # full fused program are currently pathological on this toolchain
+    # (see PERF_NOTES.md), so it is opt-in.
+    if os.environ.get('MOCODAD_BENCH_PALLAS') == '1':
+        try:
+            pg = model.build_pallas_eval(variables)
+            _, l = pg(data, jax.random.key(0))
+            l.block_until_ready()
+            gen = pg
+            label = 'pallas-megakernel'
+        except Exception as e:
+            print(f'pallas path unavailable ({str(e)[:120]}); '
+                  'falling back to the XLA fast path', file=sys.stderr)
+    if gen is None:
+        fn = jax.jit(lambda v, d, r: model.generate(v, d, r))
+        gen = lambda d, r: fn(variables, d, r)
+
     for i in range(WARMUP):
-        _, loss = gen(variables, data, jax.random.key(i))
+        _, loss = gen(data, jax.random.key(i))
         loss.block_until_ready()
 
     t0 = time.perf_counter()
     for i in range(ITERS):
-        _, loss = gen(variables, data, jax.random.key(100 + i))
+        _, loss = gen(data, jax.random.key(100 + i))
         loss.block_until_ready()
     dt = (time.perf_counter() - t0) / ITERS
 
@@ -59,7 +83,7 @@ def main():
     print(json.dumps({
         'metric': 'eval_windows_per_sec_per_chip',
         'value': round(wps, 1),
-        'unit': 'windows/s (50 samples x 9 DDPM steps each)',
+        'unit': f'windows/s (50 samples x 9 DDPM steps each; {label})',
         'vs_baseline': round(wps / BASELINE_WINDOWS_PER_SEC, 2),
     }))
 

@@ -315,6 +315,76 @@ class MoCoDADModel:
         return aggregate(aggr, self.loss_kind, xs,
                          corrupt_data.astype(jnp.float32), rng=r_aggr)
 
+    def supports_pallas_eval(self) -> bool:
+        """The megakernel covers the flagship family: pose-space model,
+        inject conditioning (identity assemble/extract), default U-Net."""
+        return self.strategy == 'inject'
+
+    def build_pallas_eval(self, variables: Dict[str, Any], nb: int = 256,
+                          interpret: bool = False):
+        """Build a jitted multi-sample generation function around the
+        Pallas megakernel (ops/pallas_unet.py).
+
+        `variables` must be CONCRETE (the layer constants are folded on the
+        host and baked into the program); rebuild after params change.
+        Returns gen(data, rng) -> (selected_x, loss), matching generate().
+        """
+        if not self.supports_pallas_eval():
+            raise ValueError('pallas eval supports the inject strategy only')
+        from mocodad_tpu.ops.pallas_unet import build_pallas_denoiser
+        from mocodad_tpu.nn.components import sinusoidal_pos_encoding
+
+        variables = jax.device_get(variables)
+        denoise = build_pallas_denoiser(
+            variables['params']['model'], variables['batch_stats']['model'],
+            c_in=self.num_coords, n_frames=self.input_n_frames,
+            n_joints=self.n_joints, embedding_dim=self.cfg.embedding_dim,
+            nb=nb, interpret=interpret)
+        s = self.n_generated_samples
+        order = self._static_order
+        n_cond = self.n_frames_condition
+        tc, v, c = self.n_frames_corrupt, self.n_joints, self.num_coords
+        dt = self.eval_dtype
+
+        def gen(data, rng):
+            r_init, r_steps, r_aggr = jax.random.split(rng, 3)
+            b = data.shape[0]
+            cond_data, corrupt_data = F.select_frames(data, order, n_cond)
+            cond_emb, _ = self.net.apply(variables, cond_data,
+                                         method=MoCoDADNet.encode_condition)
+            emb_tiled = jnp.repeat(cond_emb, s, axis=0)     # (B*S, E)
+
+            # sampler state lives in the kernel's (N, T*V, C) layout
+            x = jax.random.normal(r_init, (b * s, tc * v, c), dtype=dt)
+            ts = jnp.arange(self.schedule.noise_steps - 1, 0, -1)
+            keys = jax.random.split(r_steps, ts.shape[0])
+
+            def step(x, inputs):
+                t_scalar, key = inputs
+                t_emb = sinusoidal_pos_encoding(
+                    jnp.full((1,), t_scalar), self.cfg.embedding_dim)
+                silu_emb = jax.nn.silu(t_emb + emb_tiled)
+                eps = denoise(x, silu_emb).astype(jnp.float32)
+                a = self.schedule.alpha[t_scalar]
+                a_hat = self.schedule.alpha_hat[t_scalar]
+                beta = self.schedule.beta[t_scalar]
+                z = jax.random.normal(key, x.shape, dtype=jnp.float32)
+                z = jnp.where(t_scalar > 1, z, jnp.zeros_like(z))
+                x32 = x.astype(jnp.float32)
+                x = ((1.0 / jnp.sqrt(a)) * (
+                    x32 - ((1.0 - a) / jnp.sqrt(1.0 - a_hat)) * eps)
+                    + jnp.sqrt(beta) * z).astype(dt)
+                return x, None
+
+            x, _ = jax.lax.scan(step, x, (ts, keys))
+            # back to (S, B, C, Tc, V) for aggregation
+            xs = x.reshape(b, s, tc, v, c).astype(jnp.float32)
+            xs = jnp.moveaxis(jnp.moveaxis(xs, 1, 0), -1, 2)  # (S,B,C,Tc,V)
+            return aggregate(self.aggregation_strategy, self.loss_kind, xs,
+                             corrupt_data.astype(jnp.float32), rng=r_aggr)
+
+        return jax.jit(gen)
+
     def _make_denoise_fn(self, variables: Dict[str, Any]):
         """Denoiser for the sampling loop: the layout-optimized forward
         (ops/fast_unet.py) when enabled, else the module forward."""

@@ -1,23 +1,21 @@
-"""Layout-optimized eval-mode U-Net forward (the sampling hot path).
+"""Flattened eval-mode U-Net forward (the sampling hot path).
 
-The module-based forward (nn/unet.py) keeps activations in (N, C, T, V)
-and therefore materializes a transpose around every channel mix and keeps
-the tiny T*V axis in the MXU lanes.  This module runs the identical
-computation in a "graph-major" layout:
+Runs the denoiser as a flat chain of einsums on a logical (T*V, N, C)
+activation tensor with all BatchNorms folded to eval-mode scale/shift
+constants and the graph mix pre-composed into one (T*V, T*V) operator per
+layer.  Versus the module forward (nn/unet.py) this removes flax apply
+overhead per scan step and gives XLA one flat jaxpr to fuse.
 
-    activations live as the 2-D matrix family of (TV, N, C):
-      A-form (TVin, N*C)   — graph mixes are LEFT matmuls  K^T @ A
-      B-form (TV*N, C_in)  — channel mixes are RIGHT matmuls B @ W
+Layout lesson (measured on v5e): contractions must be expressed as
+einsums over the LOGICAL 3-D tensor — dot_general reads "transposed"
+operands for free via dimension numbers, whereas forcing 2-D reshapes
+like (TV, N*C) <-> (TV*N, C) makes XLA materialize physical tile
+relayouts each layer, which is ~6x SLOWER despite being "pure reshapes"
+on paper.
 
-    A-form <-> B-form is a *pure reshape* (both are row-major views of
-    (TV, N, C)), so the whole U-Net lowers to an alternating chain of 2-D
-    matmuls with NO transposes, full 128-lane utilization on the huge
-    (N*C | TV*N) dimension, and XLA-fused BN/PReLU/residual epilogues.
-
-Joint down/up-scaling becomes a block-diagonal left operator
-D[(t,v),(t,w)] = M[v,w]; its per-joint BatchNorm becomes a per-ROW
-scale/shift vector.  BatchNorm uses folded running statistics (eval mode),
-PReLU is elementwise, and the time/condition embedding adds per (N, C_out).
+Joint down/up-scaling becomes a block-diagonal operator
+D[(t,v),(t,w)] = M[v,w]; its per-joint BatchNorm becomes a per-row
+scale/shift.  The time/condition embedding adds per (N, C_out).
 
 Numerical parity with the module forward is tested in
 tests/test_fast_unet.py.
@@ -79,38 +77,34 @@ class _Layer:
 
     def __call__(self, x: jnp.ndarray, n: int,
                  emb: Optional[jnp.ndarray]) -> jnp.ndarray:
-        """x: A-form (TV, N*C_in) -> A-form (TV, N*C_out)."""
-        tv = x.shape[0]
+        """x: (TV, N, C_in) -> (TV, N, C_out).
+
+        Logical 3-D form throughout; contractions are expressed as einsums
+        so XLA reads 'transposed' operands via dot_general dimension
+        numbers instead of materializing tile relayouts."""
         dt = x.dtype
-
-        def to_b(a, c):   # (TV, N*C) -> (TV*N, C)
-            return a.reshape(tv * n, c)
-
-        def to_a(b, c):   # (TV*N, C) -> (TV, N*C)
-            return b.reshape(tv, n * c)
-
-        y = self.k_t.astype(dt) @ x                      # graph mix
-        y = to_b(y, self.c_in) @ self.w.astype(dt)       # channel mix
+        # graph mix then channel mix: one fused contraction pair
+        y = jnp.einsum('kx,xnc->knc', self.k_t.astype(dt), x)
+        y = jnp.einsum('knc,co->kno', y, self.w.astype(dt))
         if self.b is not None:
             y = y + self.b.astype(dt)
         y = y * self.bn_scale.astype(dt) + self.bn_shift.astype(dt)
 
         if self.has_res:
-            r = to_b(x, self.c_in) @ self.rw.astype(dt)
+            r = jnp.einsum('knc,co->kno', x, self.rw.astype(dt))
             if self.rb is not None:
                 r = r + self.rb.astype(dt)
             r = r * self.rbn_scale.astype(dt) + self.rbn_shift.astype(dt)
         else:
-            r = to_b(x, self.c_in)
+            r = x
         y = y + r
         a = self.prelu.astype(dt)
         y = jnp.where(y >= 0, y, a * y)                  # PReLU
 
         if self.has_emb and emb is not None:
             e = jax.nn.silu(emb) @ self.ek + self.eb     # (N, C_out), f32
-            y = y.reshape(tv, n, self.c_out) + e.astype(dt)[None]
-            return y.reshape(tv, n * self.c_out)
-        return to_a(y, self.c_out)
+            y = y + e.astype(dt)[None]
+        return y
 
 
 class _JointMix:
@@ -122,15 +116,14 @@ class _JointMix:
         # bias and BN act per output joint w -> per-row over (t, w)
         bn_scale, bn_shift = _fold_bn(p['BatchNorm_0'], s['BatchNorm_0'])
         bias = p.get('bias', jnp.zeros(v_out, self.d.dtype))
-        row_scale = jnp.tile(bn_scale, t_dim)            # (T*V_out,)
-        row_shift = jnp.tile(bias * bn_scale + bn_shift, t_dim)
-        self.row_scale = row_scale[:, None]
-        self.row_shift = row_shift[:, None]
+        self.row_scale = jnp.tile(bn_scale, t_dim)       # (T*V_out,)
+        self.row_shift = jnp.tile(bias * bn_scale + bn_shift, t_dim)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dt = x.dtype
-        y = self.d.T.astype(dt) @ x
-        return y * self.row_scale.astype(dt) + self.row_shift.astype(dt)
+        y = jnp.einsum('kx,xnc->knc', self.d.T.astype(dt), x)
+        return (y * self.row_scale.astype(dt)[:, None, None]
+                + self.row_shift.astype(dt)[:, None, None])
 
 
 def build_fast_denoiser(params: Dict, batch_stats: Dict, *, c_in: int,
@@ -177,9 +170,9 @@ def build_fast_denoiser(params: Dict, batch_stats: Dict, *, c_in: int,
         if inject_condition and cond_emb is not None:
             emb = emb + cond_emb
 
-        # (N, C, T, V) -> A-form (T*V, N*C): one transpose in, one out
+        # (N, C, T, V) -> (T*V, N, C): logical transpose only
         x = jnp.transpose(x_nctv, (2, 3, 0, 1)).reshape(
-            t_dim * jp['a'], n * c_in)
+            t_dim * jp['a'], n, c_in)
 
         f = x
         for l in layers_a:

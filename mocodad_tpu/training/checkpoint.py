@@ -97,6 +97,10 @@ class TopKCheckpointManager:
     def best(self) -> Optional[float]:
         return self.entries[0][0] if self.entries else None
 
+    def save_last(self, state: Any, epoch: int) -> None:
+        save_checkpoint(os.path.join(self.ckpt_dir, 'last.ckpt'), state,
+                        {'epoch': epoch})
+
     def save(self, state: Any, epoch: int, value: float) -> str:
         name = f'epoch={epoch}-{self.monitor}={value:.6f}.ckpt'
         path = os.path.join(self.ckpt_dir, name)

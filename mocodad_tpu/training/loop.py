@@ -63,6 +63,22 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self._log_every = int(cfg.extras.get('log_every_n_steps', 20))
+        # Observability (SURVEY.md section 5): optional wandb mirror of the
+        # metric stream, optional jax.profiler trace of the first steps,
+        # and a NaN-check debug mode.
+        self._wandb = None
+        if cfg.use_wandb:
+            try:
+                import wandb
+                self._wandb = wandb.init(
+                    project=cfg.project_name, group=cfg.group_name,
+                    entity=cfg.wandb_entity, name=cfg.dir_name,
+                    config=cfg.to_dict())
+            except Exception as e:  # wandb not installed / offline
+                print(f'wandb disabled ({e})', file=sys.stderr)
+        self._profile_dir = cfg.extras.get('profile_dir')
+        if cfg.extras.get('debug_nans'):
+            jax.config.update('jax_debug_nans', True)
 
     # ---- optimizer ------------------------------------------------------
 
@@ -214,6 +230,9 @@ class Trainer:
         log_path = os.path.join(cfg.ckpt_dir, 'metrics.csv')
         log_f = open(log_path, 'a')
 
+        if self._profile_dir:
+            jax.profiler.start_trace(self._profile_dir)
+
         step = 0
         for epoch in range(n_epochs):
             epoch_metrics: Dict[str, list] = {}
@@ -253,8 +272,18 @@ class Trainer:
                 f'{k}={v}' for k, v in means.items()) + '\n')
             log_f.flush()
 
+            if self._wandb is not None:
+                self._wandb.log(means, step=step)
+            if self._profile_dir and epoch == 0:
+                jax.profiler.stop_trace()
+                self._profile_dir = None
+
             value = means.get(monitor)
             if value is not None:
                 ckpt.save(state, epoch, value)
+            else:
+                # monitored metric unavailable (e.g. no validation split):
+                # still keep a resumable latest checkpoint
+                ckpt.save_last(state, epoch)
         log_f.close()
         return state
