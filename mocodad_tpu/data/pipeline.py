@@ -85,7 +85,8 @@ def build_dataset(cfg: Config, split: str = 'train') -> PoseWindows:
 
 
 def make_loader(ds: PoseWindows, batch_size: int, shuffle: bool = False,
-                seed: int = 0, pad_to_full: bool = True
+                seed: int = 0, pad_to_full: bool = True,
+                double_item: bool = False
                 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield host batches over the virtual (sample x transform) index space.
 
@@ -114,13 +115,21 @@ def make_loader(ds: PoseWindows, batch_size: int, shuffle: bool = False,
         if ds.old_aug:
             from mocodad_tpu.data.transforms import temporal_crop
             data = np.stack([temporal_crop(d, rng=rng) for d in data])
-        yield {
+        batch = {
             'data': data,
             'trans': trans_idx,
             'meta': ds.meta[sample_idx],
             'frames': ds.frames[sample_idx],
             'mask': mask,
         }
+        if double_item:
+            # second, strongly-augmented view of each window
+            # (ref: utils/dataset.py:99-108, double_item)
+            from mocodad_tpu.data.transforms import strong_augment
+            batch['data2'] = np.stack(
+                [strong_augment(d, rng=rng).astype(np.float32)
+                 for d in ds.data[sample_idx]])
+        yield batch
 
 
 def num_batches(ds: PoseWindows, batch_size: int) -> int:

@@ -33,3 +33,22 @@ def roc_auc_score(y_true: np.ndarray, y_score: np.ndarray) -> float:
     ranks = _average_ranks(y_score)
     return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2.0)
                  / (n_pos * n_neg))
+
+
+def roc_curve(y_true: np.ndarray, y_score: np.ndarray):
+    """(fpr, tpr, thresholds) over the distinct score values, descending —
+    sklearn-equivalent for binary labels (used by the ROC plot helper,
+    ref: utils/eval_utils.py:116-130)."""
+    y_true = np.asarray(y_true) > 0
+    y_score = np.asarray(y_score, dtype=np.float64)
+    order = np.argsort(-y_score, kind='mergesort')
+    ys, yt = y_score[order], y_true[order]
+    distinct = np.where(np.diff(ys))[0]
+    idx = np.r_[distinct, yt.size - 1]
+    tps = np.cumsum(yt)[idx].astype(np.float64)
+    fps = (idx + 1) - tps
+    tpr = tps / max(tps[-1], 1)
+    fpr = fps / max(fps[-1], 1)
+    thresholds = ys[idx]
+    return (np.r_[0.0, fpr], np.r_[0.0, tpr],
+            np.r_[thresholds[0] + 1, thresholds])

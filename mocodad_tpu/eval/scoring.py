@@ -33,6 +33,21 @@ def gaussian_filter1d(x: np.ndarray, sigma: float,
     return np.convolve(padded, w, mode='valid')
 
 
+def compute_fig_matrix(pos: np.ndarray, frames_pos: np.ndarray,
+                       n_frames: int) -> np.ndarray:
+    """Scatter per-window POSE tensors onto the clip timeline: (W, C, T, V)
+    windows -> (W, n_frames, V*C) with rows placed at frames_pos-1
+    (ref: utils/eval_utils.py:13-24)."""
+    assert pos.ndim == 4
+    w, dim, timesteps, joints = pos.shape
+    flat = pos.transpose(0, 2, 3, 1).reshape(w, timesteps, joints * dim)
+    pose = np.zeros((w, n_frames, joints * dim))
+    rows = np.repeat(np.arange(w), timesteps)
+    cols = (frames_pos - 1).reshape(-1)
+    pose[rows, cols] = flat.reshape(-1, joints * dim)
+    return pose
+
+
 def compute_var_matrix(pos: np.ndarray, frames_pos: np.ndarray,
                        n_frames: int) -> np.ndarray:
     """Scatter per-window scalar scores onto the clip frame timeline.

@@ -171,3 +171,29 @@ def test_post_processing_rejects_pose_output(tmp_path):
                         gt_path=gt_dir, num_transform=1,
                         dataset_name='UBnormal', split='test', use_hr=False,
                         pad_size=-1, filter_kernel_size=2, frames_shift=1)
+
+
+def test_roc_curve_matches_sklearn(rng):
+    import sklearn.metrics as skm
+    from mocodad_tpu.eval.auc import roc_curve
+    y = (rng.random(150) < 0.4).astype(int)
+    s = rng.normal(size=150)
+    s[::5] = s[0]  # ties
+    fpr, tpr, thr = roc_curve(y, s)
+    sk_fpr, sk_tpr, sk_thr = skm.roc_curve(y, s, drop_intermediate=False)
+    np.testing.assert_allclose(fpr, sk_fpr, atol=1e-12)
+    np.testing.assert_allclose(tpr, sk_tpr, atol=1e-12)
+    np.testing.assert_allclose(thr[1:], sk_thr[1:], atol=1e-12)
+
+
+def test_compute_fig_matrix():
+    from mocodad_tpu.eval.scoring import compute_fig_matrix
+    pos = np.arange(2 * 2 * 3 * 4, dtype=float).reshape(2, 2, 3, 4)
+    frames = np.array([[1, 2, 3], [5, 6, 7]])
+    m = compute_fig_matrix(pos, frames, 10)
+    assert m.shape == (2, 10, 8)
+    want0 = pos[0].transpose(1, 2, 0).reshape(3, 8)
+    np.testing.assert_array_equal(m[0, 0:3], want0)
+    assert np.all(m[0, 3:] == 0)
+    np.testing.assert_array_equal(m[1, 4:7],
+                                  pos[1].transpose(1, 2, 0).reshape(3, 8))

@@ -147,3 +147,20 @@ def test_latent_requires_inject():
         MoCoDADLatentModel(_cfg(diffusion_on_latent=True,
                                 conditioning_strategy='concat',
                                 conditioning_indices=2))
+
+
+@pytest.mark.parametrize('kw,v', [
+    (dict(kp18_format=True), 18),
+    (dict(headless=True), 14),
+])
+def test_model_works_for_alternate_joint_counts(kw, v):
+    # the reference's hardcoded 17-joint U-Net pyramid crashes here
+    # (models/stsae/stsae_unet.py:11); our level-'a' follows n_joints
+    model = MoCoDADModel(_cfg(**kw))
+    assert model.n_joints == v
+    variables = model.init_variables(jax.random.key(0))
+    data = jax.random.normal(jax.random.key(1), (4, 2, 6, v))
+    loss, _, _ = model.loss(variables, data, jax.random.key(2))
+    assert np.isfinite(float(loss))
+    sel, l = model.generate(variables, data, jax.random.key(3))
+    assert sel.shape == (4, 2, 3, v)

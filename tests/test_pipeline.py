@@ -141,3 +141,27 @@ def test_keypoints17_to_coco18():
     out = keypoints17_to_coco18(kp)
     assert out.shape == (2, 4, 18, 3)
     np.testing.assert_allclose(out[..., 1, :], 2.0)  # neck = mean shoulders
+
+
+def test_loader_double_item(synth_dir, tmp_path):
+    cfg = _cfg(synth_dir, tmp_path)
+    ds = build_dataset(cfg, 'train')
+    b = next(make_loader(ds, batch_size=16, double_item=True))
+    assert 'data2' in b and b['data2'].shape == b['data'].shape
+    assert b['data2'].dtype == np.float32
+    # the strong augmentation actually changes the view
+    assert not np.allclose(b['data2'], b['data'])
+
+
+def test_include_global_num_coords_6(synth_dir, tmp_path):
+    # num_coords == 6 activates the global bbox-feature channels
+    # (ref: utils/dataset.py:312; the reference's broadcast here is
+    # shape-invalid -- we broadcast over joints explicitly)
+    cfg = _cfg(synth_dir, tmp_path)
+    cfg.num_coords = 6
+    ds = build_dataset(cfg, 'train')
+    assert ds.data.shape[1:] == (6, 6, 17)
+    # channels 2:6 are per-frame global features, constant across joints
+    g = ds.data[:, 2:6]
+    assert np.allclose(g, g[:, :, :, :1])
+    assert np.all(np.isfinite(ds.data))
