@@ -16,7 +16,14 @@ import numpy as np
 
 
 def read_csv_matrix(path: str) -> np.ndarray:
-    """Fast comma-separated float matrix reader (rows = lines)."""
+    """Fast comma-separated float matrix reader (rows = lines).
+
+    Uses the native C++ parser (csrc/trajectory_loader.cpp) when the
+    toolchain is available, else a vectorized Python fallback."""
+    from mocodad_tpu.data import native
+    m = native.read_csv_matrix(path)
+    if m is not None:
+        return m
     with open(path, 'rb') as f:
         buf = f.read()
     txt = buf.decode('ascii')

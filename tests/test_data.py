@@ -250,3 +250,31 @@ def test_gaussian_blur_constant_signal():
     idx = np.arange(-7, 8)
     wsum = np.exp(-idx**2 / 2.0).sum()
     np.testing.assert_allclose(out[:, 20], wsum, rtol=1e-9)
+
+
+def test_native_csv_parser_matches_python(tmp_path, rng):
+    from mocodad_tpu.data import native
+    from mocodad_tpu.data.trajectories import read_csv_matrix
+    m = rng.normal(size=(37, 35)).astype(np.float32)
+    path = str(tmp_path / 't.csv')
+    with open(path, 'w') as f:
+        for row in m:
+            f.write(','.join('%.6f' % v for v in row) + '\n')
+    if not native.available():
+        pytest.skip('no native toolchain')
+    got = native.read_csv_matrix(path)
+    assert got is not None and got.shape == (37, 35)
+    np.testing.assert_allclose(got, m, atol=1e-6)
+    # the public reader routes through the native tier transparently
+    np.testing.assert_allclose(read_csv_matrix(path), m, atol=1e-6)
+
+
+def test_native_csv_parser_handles_trailing_newline_and_ints(tmp_path):
+    from mocodad_tpu.data import native
+    if not native.available():
+        pytest.skip('no native toolchain')
+    path = str(tmp_path / 'u.csv')
+    with open(path, 'w') as f:
+        f.write('5,1.5,2\n6,2.5,3\n\n')  # trailing blank line
+    got = native.read_csv_matrix(path)
+    np.testing.assert_allclose(got, [[5, 1.5, 2], [6, 2.5, 3]])
