@@ -58,10 +58,23 @@ def load_state_dict(path: str) -> Dict:
         return ser.msgpack_restore(f.read())
 
 
+def is_torch_checkpoint(path: str) -> bool:
+    """Reference checkpoints are torch.save files: zip archives ('PK...')
+    or legacy pickle streams ('\\x80')."""
+    with open(path, 'rb') as f:
+        magic = f.read(2)
+    return magic in (b'PK', b'\x80\x02', b'\x80\x03', b'\x80\x04',
+                     b'\x80\x05')
+
+
 def restore_variables(path: str, template_variables: Dict,
                       use_ema: bool = False) -> Dict:
     """Restore model variables (params + batch_stats) from a TrainState
-    checkpoint written by the training loop."""
+    checkpoint written by the training loop, or directly from a reference
+    (PyTorch/Lightning) checkpoint (ref eval_MoCoDAD.py:32-38)."""
+    if is_torch_checkpoint(path):
+        from mocodad_tpu.utils.torch_compat import load_torch_checkpoint
+        return load_torch_checkpoint(path, template_variables, strict=False)
     raw = load_state_dict(path)
     params_src = raw.get('ema_params' if use_ema and raw.get('ema_params')
                          else 'params', raw)
@@ -92,6 +105,20 @@ class TopKCheckpointManager:
 
     def _better(self, a: float, b: float) -> bool:
         return a < b if self.mode == 'min' else a > b
+
+    def restore_index(self) -> None:
+        """Reload the top-k bookkeeping written by a previous run so a
+        resumed training continues the same retention policy."""
+        path = os.path.join(self.ckpt_dir, 'topk.json')
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            idx = json.load(f)
+        if idx.get('monitor') != self.monitor or idx.get('mode') != self.mode:
+            return  # different run configuration; start fresh
+        self.entries = [(float(v), os.path.join(self.ckpt_dir, name))
+                        for v, name in idx.get('entries', [])
+                        if os.path.exists(os.path.join(self.ckpt_dir, name))]
 
     @property
     def best(self) -> Optional[float]:

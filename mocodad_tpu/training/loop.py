@@ -215,17 +215,45 @@ class Trainer:
         auc = post_processing_from_config(out, trans, meta, frames, self.cfg)
         return {'AUC': float(auc)}
 
+    def restore_state(self, path: str, template: TrainState
+                      ) -> tuple[TrainState, int]:
+        """Restore a full TrainState (params/EMA/opt_state/step) written by
+        a previous run; returns (state, next_epoch).  The reference has no
+        resume path (Lightning's ckpt_path is eval-only there,
+        eval_MoCoDAD.py:32); this closes that gap for long trainings."""
+        import json
+
+        from mocodad_tpu.parallel import replicated_sharding
+        from mocodad_tpu.training.checkpoint import load_checkpoint
+        state = load_checkpoint(path, jax.device_get(template))
+        epoch = -1
+        if os.path.exists(path + '.json'):
+            with open(path + '.json') as f:
+                epoch = int(json.load(f).get('epoch', -1))
+        state = jax.device_put(state, replicated_sharding(self.mesh))
+        return state, epoch + 1
+
     def fit(self, train_ds: PoseWindows, val_ds: Optional[PoseWindows] = None,
-            n_epochs: Optional[int] = None) -> TrainState:
+            n_epochs: Optional[int] = None,
+            resume: Optional[str] = None) -> TrainState:
         cfg = self.cfg
         n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
         steps_per_epoch = num_batches(train_ds, cfg.batch_size)
         rng = jax.random.key(cfg.seed)
         state = self.init_state(steps_per_epoch, rng)
+        start_epoch = 0
+        if resume:
+            if resume is True or resume == 'auto':
+                resume = os.path.join(cfg.ckpt_dir, 'last.ckpt')
+            state, start_epoch = self.restore_state(resume, state)
+            print(f'resumed from {resume} at epoch {start_epoch} '
+                  f'(step {int(state.step)})', flush=True)
         self._train_step = self._build_train_step()
 
         monitor, mode = monitored_metric_for(cfg)
         ckpt = TopKCheckpointManager(cfg.ckpt_dir, monitor, mode, k=2)
+        if start_epoch:
+            ckpt.restore_index()
 
         log_path = os.path.join(cfg.ckpt_dir, 'metrics.csv')
         log_f = open(log_path, 'a')
@@ -233,8 +261,8 @@ class Trainer:
         if self._profile_dir:
             jax.profiler.start_trace(self._profile_dir)
 
-        step = 0
-        for epoch in range(n_epochs):
+        step = int(state.step)
+        for epoch in range(start_epoch, n_epochs):
             epoch_metrics: Dict[str, list] = {}
             t0 = time.time()
             for batch in make_loader(train_ds, cfg.batch_size, shuffle=True,

@@ -13,6 +13,9 @@ def main():
     parser.add_argument('-c', '--config', type=str, required=True)
     parser.add_argument('--n-devices', type=int, default=None,
                         help='mesh size (defaults to all visible devices)')
+    parser.add_argument('--resume', nargs='?', const='auto', default=None,
+                        help="resume training from a checkpoint "
+                             "(bare flag = ckpt_dir/last.ckpt)")
     cli = parser.parse_args()
 
     from mocodad_tpu.config import load_config
@@ -33,7 +36,7 @@ def main():
           f'(x{train_ds.num_transform} transforms)')
 
     trainer = Trainer(cfg, n_devices=cli.n_devices)
-    trainer.fit(train_ds, val_ds)
+    trainer.fit(train_ds, val_ds, resume=cli.resume)
     print(f'done; checkpoints in {cfg.ckpt_dir}')
 
 
