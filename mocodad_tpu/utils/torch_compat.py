@@ -227,6 +227,99 @@ def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
     return out
 
 
+_INV_UNET_STACKS = {v[0]: k for k, v in _UNET_STACKS.items()}
+
+
+def _export_gcnn(prefix: str, p: Dict, s: Optional[Dict], out: Dict) -> None:
+    a = p['gcn']
+    out[f'{prefix}.gcn.A'] = _as_np(a['A'])
+    out[f'{prefix}.gcn.T'] = _as_np(a['T'])
+    out[f'{prefix}.tcn.0.weight'] = _as_np(p['tcn_kernel']).T[:, :, None, None]
+    if 'tcn_bias' in p:
+        out[f'{prefix}.tcn.0.bias'] = _as_np(p['tcn_bias'])
+    _export_bn(f'{prefix}.tcn.1', p['tcn_bn'],
+               s['tcn_bn'] if s else None, out)
+    if 'residual_kernel' in p:
+        out[f'{prefix}.residual.0.weight'] = \
+            _as_np(p['residual_kernel']).T[:, :, None, None]
+        if 'residual_bias' in p:
+            out[f'{prefix}.residual.0.bias'] = _as_np(p['residual_bias'])
+        _export_bn(f'{prefix}.residual.1', p['residual_bn'],
+                   s['residual_bn'] if s else None, out)
+    out[f'{prefix}.prelu.weight'] = \
+        _as_np(p['PReLU_0']['negative_slope']).reshape(1)
+    if 'emb_kernel' in p:
+        out[f'{prefix}.emb_layer.1.weight'] = _as_np(p['emb_kernel']).T
+        out[f'{prefix}.emb_layer.1.bias'] = _as_np(p['emb_bias'])
+
+
+def _export_bn(prefix: str, p: Dict, s: Optional[Dict], out: Dict) -> None:
+    out[f'{prefix}.weight'] = _as_np(p['scale'])
+    out[f'{prefix}.bias'] = _as_np(p['bias'])
+    if s is not None:
+        out[f'{prefix}.running_mean'] = _as_np(s['mean'])
+        out[f'{prefix}.running_var'] = _as_np(s['var'])
+
+
+def export_torch_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
+    """Inverse of convert_torch_state_dict: emit a reference-named torch
+    state dict from a flax variables tree, so models trained here can be
+    consumed by the reference implementation."""
+    params = variables['params']
+    stats = variables.get('batch_stats', {})
+    out: Dict[str, np.ndarray] = {}
+
+    for root, p in params.items():
+        s = stats.get(root, {})
+        if root == 'denoiser':
+            i = 0
+            while f'w{i}_kernel' in p:
+                last = f'w{i + 1}_kernel' not in p
+                base = f'denoiser.net.{i}' if last else f'denoiser.net.{i}.0'
+                out[f'{base}.weight'] = _as_np(p[f'w{i}_kernel']).T
+                if f'w{i}_bias' in p:
+                    out[f'{base}.bias'] = _as_np(p[f'w{i}_bias'])
+                if not last:
+                    _export_bn(f'denoiser.net.{i}.1', p[f'bn{i}'],
+                               s.get(f'bn{i}'), out)
+                out[f'denoiser.cond_layers.{i}.weight'] = \
+                    _as_np(p[f'c{i}_kernel']).T
+                if f'c{i}_bias' in p:
+                    out[f'denoiser.cond_layers.{i}.bias'] = \
+                        _as_np(p[f'c{i}_bias'])
+                i += 1
+            continue
+        for name, sub in p.items():
+            ss = s.get(name, {}) if isinstance(s, dict) else {}
+            if name in ('encoder', 'decoder'):
+                for lname, lp in sub.items():
+                    i = lname.split('_')[1]
+                    _export_gcnn(f'{root}.{name}.model_layers.{i}', lp,
+                                 ss.get(lname), out)
+            elif name == 'p1a':
+                _export_gcnn(f'{root}.st_gcnnsp1a.0', sub, ss, out)
+            elif re.fullmatch(r'[du][1-4]_[0-9]', name):
+                stack = _INV_UNET_STACKS[name.split('_')[0]]
+                _export_gcnn(f'{root}.{stack}.{name.split("_")[1]}', sub,
+                             ss, out)
+            elif name in _JOINT_MIXES:
+                out[f'{root}.{name}.block.0.weight'] = \
+                    _as_np(sub['kernel']).T[:, :, None, None]
+                if 'bias' in sub:
+                    out[f'{root}.{name}.block.0.bias'] = _as_np(sub['bias'])
+                _export_bn(f'{root}.{name}.block.1', sub['BatchNorm_0'],
+                           ss.get('BatchNorm_0'), out)
+            elif name.endswith('_kernel'):
+                base = name[:-len('_kernel')]
+                out[f'{root}.{base}.weight'] = _as_np(sub).T
+            elif name.endswith('_bias'):
+                base = name[:-len('_bias')]
+                out[f'{root}.{base}.bias'] = _as_np(sub)
+            else:
+                raise ValueError(f'unhandled flax entry {root}.{name}')
+    return out
+
+
 def load_torch_checkpoint(path: str, template_variables: Dict,
                           strict: bool = True) -> Dict:
     """Load a reference .ckpt/.pt file into a flax variables tree matching
