@@ -45,7 +45,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = 'data') -> dict:
-    """device_put every array in the batch with its leading axis sharded
-    over the mesh."""
+    """Place every array in the batch with its leading axis sharded over
+    the mesh.  Single-process: a plain sharded device_put.  Multi-process
+    (multi-host DCN): each process contributes its local rows and the
+    result is a global jax.Array (see parallel/distributed.py)."""
     sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        # every process's loader yields the same (seeded) global batch;
+        # each contributes its own contiguous row range
+        from mocodad_tpu.parallel.distributed import make_global_batch
+        n_proc, pid = jax.process_count(), jax.process_index()
+        local = {}
+        for k, v in batch.items():
+            rows = v.shape[0]
+            assert rows % n_proc == 0, (
+                f'global batch {rows} not divisible by {n_proc} processes')
+            rpp = rows // n_proc
+            local[k] = v[pid * rpp:(pid + 1) * rpp]
+        return make_global_batch(local, sh)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}

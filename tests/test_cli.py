@@ -1,0 +1,110 @@
+"""CLI subprocess smoke tests: run the three entry points end-to-end on a
+tiny synthetic dataset (ref counterparts train/eval/predict_MoCoDAD.py) and
+assert the artifact + replay contracts:
+
+  * train writes config.yaml copy, last/best checkpoints, scaler npz;
+  * predict writes the 5-tensor saved_tensors_{split}_{aggr}_{n}/ cache;
+  * eval --load_tensors replay reproduces the direct eval AUC exactly.
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.slow
+
+
+def _run(args, cwd=REPO):
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('PYTHONPATH', None)
+    out = subprocess.run([sys.executable, '-u'] + args, cwd=cwd, env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, f'{args} failed:\n{out.stdout}\n{out.stderr}'
+    return out.stdout
+
+
+def _auc(stdout: str) -> float:
+    m = re.search(r'AUC score: ([0-9.]+)', stdout)
+    assert m, f'no AUC in output:\n{stdout}'
+    return float(m.group(1))
+
+
+@pytest.fixture(scope='module')
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp('cli')
+    data = root / 'data'
+    from mocodad_tpu.data.synthetic import generate
+    generate(str(data), seed=0, n_clips_per_split=2, n_actors=2, n_frames=60)
+
+    base = dict(
+        split='train', debug=False, seed=3, validation=False, use_hr=False,
+        accelerator='cpu', devices=[0],
+        dir_name='cli_smoke', data_dir=str(data) + '/',
+        exp_dir=str(root / 'checkpoints'),
+        test_path=str(data / 'testing' / 'test_frame_mask'),
+        load_ckpt='', create_experiment_dir=True,
+        use_wandb=False, use_ema=False,
+        embedding_dim=8, dropout=0.0,
+        conditioning_strategy='inject', conditioning_architecture='AE',
+        conditioning_indices=[0, 1, 2], h_dim=8, latent_dim=8,
+        channels=[8, 4, 8],
+        noise_steps=5, n_epochs=1, opt_lr=1e-3,
+        loss_fn='smooth_l1', rec_weight=0.01,
+        n_generated_samples=2, model_return_value='loss',
+        aggregation_strategy='best', filter_kernel_size=5, frames_shift=2,
+        save_tensors=False, load_tensors=False,
+        dataset_choice='UBnormal', seg_len=6, vid_res=[640, 360],
+        batch_size=128, pad_size=-1,
+        headless=False, hip_center=False, kp18_format=False,
+        normalization_strategy='robust', num_coords=2, num_transform=2,
+        num_workers=0, seg_stride=1, seg_th=0, start_offset=0,
+        symm_range=True, use_fitted_scaler=False)
+
+    train_yaml = root / 'train.yaml'
+    train_yaml.write_text(yaml.safe_dump(base))
+    test_cfg = dict(base, split='test', load_ckpt='best_weights.ckpt')
+    test_yaml = root / 'test.yaml'
+    test_yaml.write_text(yaml.safe_dump(test_cfg))
+
+    _run(['train_MoCoDAD.py', '--config', str(train_yaml)])
+    ckpt_dir = root / 'checkpoints' / 'UBnormal' / 'cli_smoke'
+    return dict(root=root, ckpt_dir=ckpt_dir, test_yaml=test_yaml,
+                test_cfg=test_cfg)
+
+
+def test_train_cli_artifacts(workspace):
+    ckpt_dir = workspace['ckpt_dir']
+    for name in ('config.yaml', 'last.ckpt', 'best_weights.ckpt',
+                 'metrics.csv', 'topk.json', 'local_robust.npz'):
+        assert (ckpt_dir / name).exists(), f'missing artifact {name}'
+    # the config copy must round-trip through the loader
+    copied = yaml.safe_load((ckpt_dir / 'config.yaml').read_text())
+    assert copied['conditioning_strategy'] == 'inject'
+
+
+def test_predict_then_replay_matches_direct_eval(workspace):
+    ckpt_dir = workspace['ckpt_dir']
+    test_yaml = str(workspace['test_yaml'])
+
+    _run(['predict_MoCoDAD.py', '--config', test_yaml])
+    tensors_dir = ckpt_dir / 'saved_tensors_test_best_2'
+    for name in ('prediction', 'gt_data', 'trans', 'metadata', 'frames'):
+        assert any(f.startswith(name) for f in os.listdir(tensors_dir)), \
+            f'missing saved tensor {name}'
+
+    direct = _auc(_run(['eval_MoCoDAD.py', '--config', test_yaml]))
+
+    replay_cfg = dict(workspace['test_cfg'], load_tensors=True)
+    replay_yaml = workspace['root'] / 'replay.yaml'
+    replay_yaml.write_text(yaml.safe_dump(replay_cfg))
+    replay = _auc(_run(['eval_MoCoDAD.py', '--config', str(replay_yaml)]))
+
+    assert abs(direct - replay) < 1e-9, (direct, replay)
+    assert 0.0 <= direct <= 1.0

@@ -18,6 +18,11 @@ def main():
                              "(bare flag = ckpt_dir/last.ckpt)")
     cli = parser.parse_args()
 
+    # multi-host (DCN): must come before any JAX backend init; no-op unless
+    # a coordinator is configured (MOCODAD_COORDINATOR / pod launcher envs)
+    from mocodad_tpu.parallel import maybe_initialize
+    maybe_initialize()
+
     from mocodad_tpu.config import load_config
     cfg = load_config(cli.config)
 
