@@ -1,0 +1,87 @@
+"""Visualization smoke tests: animation export, score-analysis figures,
+HTML report, stats LaTeX (counterparts of visualize/vis.py and
+visualize/visualize.ipynb, which the reference ships untested)."""
+
+import os
+
+import numpy as np
+import pytest
+
+matplotlib = pytest.importorskip('matplotlib')
+
+from mocodad_tpu.viz import (ClipVisualizer, clip_score_figure, hr_stats,
+                             html_report, per_person_scores, stats_to_latex)
+
+
+@pytest.fixture
+def gt_dir(tmp_path, rng):
+    d = tmp_path / 'gt'
+    d.mkdir()
+    for scene, clip, n in [(1, 1, 40), (1, 2, 30)]:
+        gt = np.zeros(n, np.int64)
+        gt[n // 2:n // 2 + 5] = 1
+        np.save(d / f'{scene}_{clip}.npy', gt)
+    return str(d)
+
+
+def _window_outputs(rng):
+    """Fake per-window losses for scene 1 clips 1-2, two persons each."""
+    rows = []
+    for clip, n in [(1, 40), (2, 30)]:
+        for person in (1, 2):
+            for start in range(0, n - 6, 3):
+                rows.append((rng.random(), 0, (1, clip, person, start),
+                             np.arange(start + 1, start + 7)))
+    out = np.array([r[0] for r in rows])
+    trans = np.array([r[1] for r in rows], np.int32)
+    meta = np.array([r[2] for r in rows], np.int64)
+    frames = np.array([r[3] for r in rows], np.int32)
+    return out, trans, meta, frames
+
+
+def test_per_person_scores_groups_clips(gt_dir, rng):
+    out, trans, meta, frames = _window_outputs(rng)
+    clips = per_person_scores(out, trans, meta, frames, gt_dir)
+    assert set(clips) == {(1, 1), (1, 2)}
+    epp = clips[(1, 1)]['error_per_person']
+    assert epp.shape == (2, 40)
+    assert np.all(np.isfinite(epp))
+
+
+def test_clip_score_figure_and_latex(gt_dir, rng, tmp_path):
+    out, trans, meta, frames = _window_outputs(rng)
+    clips = per_person_scores(out, trans, meta, frames, gt_dir)
+    d = clips[(1, 1)]
+    png = str(tmp_path / 'clip.png')
+    clip_score_figure(d['error_per_person'], d['gt'], png, kernel_size=3.0)
+    assert os.path.getsize(png) > 1000
+
+    rows = hr_stats(gt_dir)
+    assert rows[0]['length'] == 40 and rows[0]['pct_abnormal'] > 0
+    tex = stats_to_latex(rows, str(tmp_path / 't.tex'))
+    assert r'\begin{tabular}' in tex and '1_1' in tex
+
+
+def test_html_report_self_contained(gt_dir, rng, tmp_path):
+    out, trans, meta, frames = _window_outputs(rng)
+    path = html_report(out, trans, meta, frames, gt_dir,
+                       str(tmp_path / 'report.html'), kernel_size=3.0,
+                       auc=0.87)
+    text = open(path).read()
+    assert 'data:image/png;base64,' in text
+    assert '0.8700' in text and 'scene 1 clip 2' in text
+
+
+def test_animation_gif_export(tmp_path, rng):
+    # 2 actors x 8 frames of 17 joints, image-space
+    trajs = {'0001': rng.uniform(50, 300, (8, 34)),
+             '0002': rng.uniform(50, 300, (8, 34))}
+    scores = rng.random(8)
+    gt = np.array([0, 0, 0, 1, 1, 0, 0, 0])
+    vis = ClipVisualizer(trajs, vid_res=(360, 360), scores=scores, gt=gt)
+    gif = str(tmp_path / 'clip.gif')
+    vis.animate(out_path=gif, fps=4)
+    assert os.path.getsize(gif) > 5000
+    png = str(tmp_path / 'frame.png')
+    vis.save_frame(3, png)
+    assert os.path.getsize(png) > 1000
