@@ -2,7 +2,8 @@
 settings (50 generated samples x 9 reverse-DDPM steps per window,
 config/UBnormal/mocodad_test.yaml:54,68).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} with
+MFU and roofline context (see mocodad_tpu/ops/roofline.py).
 
 Baseline derivation (documented estimate — the reference repo publishes no
 throughput numbers, BASELINE.md): the PyTorch eval loop issues
@@ -27,12 +28,23 @@ NOISE_STEPS = 10
 WARMUP = 2
 ITERS = 5
 
+# The Pallas megakernel's Mosaic compile is slow on this toolchain
+# (~6 min; see PERF_NOTES.md "Mosaic probe results") — persist compiled
+# executables so only the first-ever bench run pays it.
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.expanduser('~/.cache/jax_comp'))
+
 
 def main():
     import sys
     import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ['JAX_COMPILATION_CACHE_DIR'])
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
     from mocodad_tpu.config import Config
     from mocodad_tpu.models import MoCoDADModel
+    from mocodad_tpu.ops.roofline import (HBM_BYTES_PER_S, PEAK_BF16_FLOPS,
+                                          unet_cost)
 
     cfg = Config(
         conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
@@ -41,8 +53,7 @@ def main():
         seg_len=6, num_coords=2, noise_steps=NOISE_STEPS,
         n_generated_samples=N_GENERATED, aggregation_strategy='best',
         batch_size=BATCH, seed=0)
-    # measured fastest correct configuration on v5e (see PERF_NOTES.md):
-    # flattened einsum eval path + bf16 sampling state
+    # measured fastest correct configuration on v5e (see PERF_NOTES.md)
     cfg.extras['eval_dtype'] = 'bfloat16'
     cfg.extras['fast_eval'] = True
 
@@ -52,16 +63,16 @@ def main():
 
     gen = None
     label = 'xla-fast-bf16'
-    # The Pallas megakernel is experimental: Mosaic compile times for the
-    # full fused program are currently pathological on this toolchain
-    # (see PERF_NOTES.md), so it is opt-in.
+    # The Pallas megakernel is opt-in: measured 32.4 ms/step vs the XLA
+    # fast path's ~26 ms on this toolchain (whose Mosaic also compiles it
+    # in ~6-9 min) — see PERF_NOTES.md "Mosaic probe results".
     if os.environ.get('MOCODAD_BENCH_PALLAS') == '1':
         try:
             pg = model.build_pallas_eval(variables)
             _, l = pg(data, jax.random.key(0))
             l.block_until_ready()
             gen = pg
-            label = 'pallas-megakernel'
+            label = 'pallas-megakernel-bf16'
         except Exception as e:
             print(f'pallas path unavailable ({str(e)[:120]}); '
                   'falling back to the XLA fast path', file=sys.stderr)
@@ -80,11 +91,31 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
 
     wps = BATCH / dt
+    # MFU / roofline context: useful FLOPs of the sampling chain vs chip
+    # peak, plus the MXU-granularity ceiling this topology allows
+    c = unet_cost(model.input_n_frames, model.n_joints)
+    n_forwards = BATCH * N_GENERATED * (NOISE_STEPS - 1)
+    useful_flops_per_batch = c.useful_flops * n_forwards
+    mfu = useful_flops_per_batch / dt / PEAK_BF16_FLOPS
+    granularity_ceiling_wps = BATCH / (
+        c.mxu_row_cost * n_forwards / PEAK_BF16_FLOPS)
+    hbm_roundtrip_ms = (2 * c.act_bytes * n_forwards / HBM_BYTES_PER_S) * 1e3
+
     print(json.dumps({
         'metric': 'eval_windows_per_sec_per_chip',
         'value': round(wps, 1),
         'unit': f'windows/s (50 samples x 9 DDPM steps each; {label})',
         'vs_baseline': round(wps / BASELINE_WINDOWS_PER_SEC, 2),
+        'mfu': round(mfu, 4),
+        'mxu_granularity_ceiling_windows_per_sec':
+            round(granularity_ceiling_wps, 1),
+        'pct_of_granularity_ceiling': round(
+            100 * wps / granularity_ceiling_wps, 1),
+        'xla_path_hbm_roundtrip_ms_per_batch': round(hbm_roundtrip_ms, 1),
+        'baseline_derivation': 'estimate: torch eval loop is '
+            'kernel-launch-bound, ~450 sequential U-Net dispatches/batch '
+            '(ref models/mocodad.py:160-180) ~= 0.5 s/1024 windows on a '
+            'modern GPU => 2000 w/s; repo publishes no measured number',
     }))
 
 

@@ -334,17 +334,17 @@ class MoCoDADModel:
         from mocodad_tpu.ops.pallas_unet import build_pallas_denoiser
         from mocodad_tpu.nn.components import sinusoidal_pos_encoding
 
+        dt = self.eval_dtype
         variables = jax.device_get(variables)
         denoise = build_pallas_denoiser(
             variables['params']['model'], variables['batch_stats']['model'],
             c_in=self.num_coords, n_frames=self.input_n_frames,
             n_joints=self.n_joints, embedding_dim=self.cfg.embedding_dim,
-            nb=nb, interpret=interpret)
+            nb=nb, compute_dtype=dt, interpret=interpret)
         s = self.n_generated_samples
         order = self._static_order
         n_cond = self.n_frames_condition
         tc, v, c = self.n_frames_corrupt, self.n_joints, self.num_coords
-        dt = self.eval_dtype
 
         def gen(data, rng):
             r_init, r_steps, r_aggr = jax.random.split(rng, 3)
@@ -352,10 +352,12 @@ class MoCoDADModel:
             cond_data, corrupt_data = F.select_frames(data, order, n_cond)
             cond_emb, _ = self.net.apply(variables, cond_data,
                                          method=MoCoDADNet.encode_condition)
-            emb_tiled = jnp.repeat(cond_emb, s, axis=0)     # (B*S, E)
+            # (E, B*S), b-major fold like generate(); the sampler state
+            # lives in the kernel's batch-in-lanes (C, T*V, N) layout so
+            # the scan body has no transposes at all
+            emb_t = jnp.repeat(cond_emb, s, axis=0).T
 
-            # sampler state lives in the kernel's (N, T*V, C) layout
-            x = jax.random.normal(r_init, (b * s, tc * v, c), dtype=dt)
+            x = jax.random.normal(r_init, (c, tc * v, b * s), dtype=dt)
             ts = jnp.arange(self.schedule.noise_steps - 1, 0, -1)
             keys = jax.random.split(r_steps, ts.shape[0])
 
@@ -363,7 +365,7 @@ class MoCoDADModel:
                 t_scalar, key = inputs
                 t_emb = sinusoidal_pos_encoding(
                     jnp.full((1,), t_scalar), self.cfg.embedding_dim)
-                silu_emb = jax.nn.silu(t_emb + emb_tiled)
+                silu_emb = jax.nn.silu(emb_t + t_emb.T)     # (E, B*S)
                 eps = denoise(x, silu_emb).astype(jnp.float32)
                 a = self.schedule.alpha[t_scalar]
                 a_hat = self.schedule.alpha_hat[t_scalar]
@@ -377,9 +379,9 @@ class MoCoDADModel:
                 return x, None
 
             x, _ = jax.lax.scan(step, x, (ts, keys))
-            # back to (S, B, C, Tc, V) for aggregation
-            xs = x.reshape(b, s, tc, v, c).astype(jnp.float32)
-            xs = jnp.moveaxis(jnp.moveaxis(xs, 1, 0), -1, 2)  # (S,B,C,Tc,V)
+            # (C, Tc*V, B*S) -> (S, B, C, Tc, V) for aggregation
+            xs = x.reshape(c, tc, v, b, s).astype(jnp.float32)
+            xs = jnp.transpose(xs, (4, 3, 0, 1, 2))
             return aggregate(self.aggregation_strategy, self.loss_kind, xs,
                              corrupt_data.astype(jnp.float32), rng=r_aggr)
 

@@ -1,35 +1,38 @@
 """Pallas TPU megakernel: one fused denoise forward per batch tile.
 
-The sampling loop is HBM-bandwidth-bound under XLA: every layer's
-intermediates round-trip to HBM (measured ~2-4k windows/s on v5e).  This
-kernel runs the ENTIRE eval-mode U-Net on an (NB, T*V, C) batch tile with
-every intermediate — graph mixes, channel mixes, folded BatchNorms,
-residuals, PReLUs, skip tensors, time/condition embedding adds — resident
-in VMEM.  HBM traffic per denoise step collapses to: read x tile + read
-silu(embedding) tile + write eps tile (+ the sub-1MB weight stacks).
+Runs the ENTIRE eval-mode U-Net on a batch tile with every intermediate —
+graph mixes, channel mixes, folded BatchNorms, residuals, PReLUs, skips,
+embedding adds — resident in VMEM.  HBM traffic per denoise step collapses
+to read-x + read-silu(emb) + write-eps (+ sub-MB weights, fetched once).
 
-Mosaic-portability notes (probed on v5e):
-  * graph/joint mixes: `lax.dot_general((NB, TVi, C), (TVi, TVo))`
-    contracting the lhs MIDDLE dim is supported -> (NB, C, TVo), followed
-    by a supported `swapaxes(1, 2)`;
-  * channel mixes: sublane-merging reshape (NB, TV, C) -> (NB*TV, C) then
-    a plain 2-D dot;
-  * lane-merging reshapes and rank-3 einsums are NOT supported — avoided.
+Layout (chosen from measured Mosaic behaviour on this toolchain — see
+PERF_NOTES.md "Mosaic probe results"):
 
-Per-layer weights are stacked into a few padded buffers (pad -> max dims)
-and statically sliced to their true shapes inside the kernel, so operand
-count stays small and no padded FLOPs are executed.
+  * activations are batch-in-lanes, alternating
+        A = (C, TV, NB)   and   B = (TV, C, NB),
+    so every matrix operand is the rank-2 WEIGHT on the lhs and the
+    contraction hits a leading/middle dim of the rank-3 rhs — the one
+    dot_general family this Mosaic version both supports and compiles in
+    finite time (rank-3-lhs chains and P/Q batch-in-sublane layouts
+    compile pathologically: >10 min for a 2-dot kernel);
+  * each dot then has N = (free dim)·NB with NB = 128·k lanes fully used,
+    K, M <= 1 MXU tile — cost ~ M·ceil(N/128) rows, matching the
+    MXU-granularity roofline (see ops/roofline.py);
+  * eval-mode BatchNorms are folded into the weights/biases on the host;
+    per-layer conv + BN biases collapse into one (Co,1,1) broadcast add.
 
 Covers the main MoCoDAD config family (STSAEUnet, inject conditioning);
-`model.generate` falls back to the XLA fast path otherwise.  Numerical
-parity with the module forward is tested in tests/test_pallas_unet.py
-(interpret mode on CPU, compiled on TPU).
+`model.generate` is the XLA fallback otherwise.  Numerical parity with the
+module forward is tested in tests/test_pallas_unet.py (interpret mode on
+CPU; compiled on TPU).  Hot op in the reference this replaces:
+models/gcae/stsgcn.py:154-155 dispatched ~450x per eval batch
+(models/mocodad.py:160-180).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,43 +44,76 @@ from mocodad_tpu.nn.stsgcn import compose_graph_operator
 from mocodad_tpu.nn.unet import joint_pyramid
 from mocodad_tpu.ops.fast_unet import _block_diag_joint_mix, _fold_bn
 
-# padded stack dims
-KP = 128   # max T*V per level (T=6: TV=102 -> pad 128)
-CP = 128   # max channels
+
+class _GcnW(NamedTuple):
+    k2: jnp.ndarray        # (TVo, TVi)  graph operator, left form
+    w2: jnp.ndarray        # (Co, Ci)    channel mix, BN-scale folded
+    bias: jnp.ndarray      # (Co, 1, 1)  conv bias + BN shifts (both paths)
+    slope: jnp.ndarray     # (1, 1)      PReLU negative slope
+    we2: jnp.ndarray       # (Co, E)     embedding projection
+    eb: jnp.ndarray        # (Co, 1)     embedding bias
+    wr2: Optional[jnp.ndarray]  # (Co, Ci) residual mix or None (identity)
 
 
-class _OpSpec(NamedTuple):
-    kind: str          # 'gcn' | 'joint' | 'save' | 'add_skip' | 'add_input'
-    idx: int           # index into the corresponding weight stack
-    tvi: int
-    tvo: int
-    ci: int
-    co: int
-    has_res: bool
-    slot: int          # skip slot for save/add_skip
+class _JointW(NamedTuple):
+    d2: jnp.ndarray        # (TVo, TVi) block-diag joint mix, left form
+    rs: jnp.ndarray        # (TVo, 1, 1) per-row scale (folded BN)
+    rt: jnp.ndarray        # (TVo, 1, 1) per-row shift (bias + BN)
 
 
-def _pad_to(a, shape):
-    a = np.asarray(jax.device_get(a))
-    out = np.zeros(shape, dtype=a.dtype)
-    out[tuple(slice(0, s) for s in a.shape)] = a
-    return out
+def _np(x):
+    return np.asarray(jax.device_get(x), np.float32)
+
+
+def _fold_gcn(p: Dict, s: Dict, cdt) -> _GcnW:
+    k2 = _np(compose_graph_operator(p['gcn']['T'], p['gcn']['A'])).T
+    sc, sh = _fold_bn(p['tcn_bn'], s['tcn_bn'])
+    sc, sh = _np(sc), _np(sh)
+    w2 = (_np(p['tcn_kernel']) * sc[None, :]).T          # (Co, Ci)
+    b = _np(p['tcn_bias']) if 'tcn_bias' in p else 0.0
+    bias = b * sc + sh
+    wr2 = None
+    if 'residual_kernel' in p:
+        rsc, rsh = _fold_bn(p['residual_bn'], s['residual_bn'])
+        rsc, rsh = _np(rsc), _np(rsh)
+        wr2 = (_np(p['residual_kernel']) * rsc[None, :]).T
+        rb = _np(p['residual_bias']) if 'residual_bias' in p else 0.0
+        bias = bias + rb * rsc + rsh
+    slope = float(_np(p['PReLU_0']['negative_slope']).reshape(-1)[0])
+    return _GcnW(
+        k2=jnp.asarray(k2, cdt), w2=jnp.asarray(w2, cdt),
+        bias=jnp.asarray(bias.reshape(-1, 1, 1), jnp.float32),
+        slope=jnp.full((1, 1), slope, jnp.float32),
+        we2=jnp.asarray(_np(p['emb_kernel']).T, cdt),
+        eb=jnp.asarray(_np(p['emb_bias']).reshape(-1, 1), jnp.float32),
+        wr2=None if wr2 is None else jnp.asarray(wr2, cdt))
+
+
+def _fold_joint(p: Dict, s: Dict, t_dim: int, cdt) -> _JointW:
+    d = _np(_block_diag_joint_mix(jnp.asarray(_np(p['kernel'])), t_dim)).T
+    sc, sh = _fold_bn(p['BatchNorm_0'], s['BatchNorm_0'])
+    sc, sh = _np(sc), _np(sh)
+    v_out = _np(p['kernel']).shape[1]
+    b = _np(p['bias']) if 'bias' in p else np.zeros(v_out, np.float32)
+    row_s = np.tile(sc, t_dim)
+    row_t = np.tile(b * sc + sh, t_dim)
+    return _JointW(d2=jnp.asarray(d, cdt),
+                   rs=jnp.asarray(row_s.reshape(-1, 1, 1), jnp.float32),
+                   rt=jnp.asarray(row_t.reshape(-1, 1, 1), jnp.float32))
 
 
 def build_pallas_denoiser(params: Dict, batch_stats: Dict, *, c_in: int,
                           n_frames: int, n_joints: int, embedding_dim: int,
                           unet_down_channels=(16, 32, 32, 64, 64, 128, 64),
-                          unet_up_channels=None, nb: int = 128,
-                          compute_dtype=jnp.float32,
+                          unet_up_channels=None, nb: int = 256,
+                          compute_dtype=jnp.bfloat16,
                           interpret: bool = False,
-                          max_ops: Optional[int] = None,
-                          debug_skip: frozenset = frozenset(),
                           vmem_limit_bytes: Optional[int] = 100 * 2**20):
-    """fn(x_ntvc, silu_emb) -> eps_ntvc for an STSAEUnet variables tree.
+    """fn(x_ctn, silu_emb_en) -> eps_ctn for an STSAEUnet variables tree.
 
-    x_ntvc: (N, T*V, C_in); silu_emb: (N, embedding_dim) = silu(time emb +
-    condition emb) precomputed per step.  N must be a positive multiple of
-    8; it is padded to a multiple of nb internally.
+    x_ctn: (C_in, T*V, N) activations (batch in lanes); silu_emb_en:
+    (E, N) = silu(time emb + condition emb)^T precomputed per step.
+    N is padded internally to a multiple of nb.
     """
     jp = joint_pyramid(n_joints)
     dn = list(unet_down_channels)
@@ -85,232 +121,117 @@ def build_pallas_denoiser(params: Dict, batch_stats: Dict, *, c_in: int,
           else [64, 32, 32, c_in])
     t = n_frames
     tva, tvb, tvc = t * jp['a'], t * jp['b'], t * jp['c']
-    emb_dim = embedding_dim
-
-    # ---- collect per-layer constants (host-side, once) ----
-    gcn_layers = [
-        ('p1a', tva, c_in, dn[0]), ('d1_0', tva, dn[0], dn[1]),
-        ('d1_1', tva, dn[1], dn[2]),
-        ('d2_0', tvb, dn[2], dn[3]), ('d2_1', tvb, dn[3], dn[4]),
-        ('d3_0', tvc, dn[4], dn[5]), ('d3_1', tvc, dn[5], dn[6]),
-        ('u4_0', tvb, dn[-1], up[0]), ('u4_1', tvb, up[0], up[1]),
-        ('u3_0', tva, up[1], up[2]), ('u3_1', tva, up[2], up[3]),
-    ]
-    joint_layers = [('down1', tva, tvb), ('down2', tvb, tvc),
-                    ('up3', tvc, tvb), ('up2', tvb, tva)]
-
-    n_g, n_j = len(gcn_layers), len(joint_layers)
-    ks = np.zeros((n_g, KP, KP), np.float32)
-    ws = np.zeros((n_g, CP, CP), np.float32)
-    bs = np.zeros((n_g, 1, CP), np.float32)
-    bn_s = np.zeros((n_g, 1, CP), np.float32)
-    bn_t = np.zeros((n_g, 1, CP), np.float32)
-    rws = np.zeros((n_g, CP, CP), np.float32)
-    rbn_s = np.zeros((n_g, 1, CP), np.float32)
-    rbn_t = np.zeros((n_g, 1, CP), np.float32)
-    prel = np.zeros((n_g, 1, 8), np.float32)
-    eks = np.zeros((n_g, emb_dim, CP), np.float32)
-    ebs = np.zeros((n_g, 1, CP), np.float32)
-    has_res_flags: List[bool] = []
-
-    for i, (name, tv, ci, co) in enumerate(gcn_layers):
-        p, s = params[name], batch_stats[name]
-        k = compose_graph_operator(p['gcn']['T'], p['gcn']['A'])
-        ks[i] = _pad_to(k, (KP, KP))
-        ws[i] = _pad_to(p['tcn_kernel'], (CP, CP))
-        if 'tcn_bias' in p:
-            bs[i, 0, :co] = np.asarray(jax.device_get(p['tcn_bias']))
-        sc, sh = _fold_bn(p['tcn_bn'], s['tcn_bn'])
-        bn_s[i, 0, :co] = np.asarray(jax.device_get(sc))
-        bn_t[i, 0, :co] = np.asarray(jax.device_get(sh))
-        has_res = 'residual_kernel' in p
-        has_res_flags.append(has_res)
-        if has_res:
-            rws[i] = _pad_to(p['residual_kernel'], (CP, CP))
-            rsc, rsh = _fold_bn(p['residual_bn'], s['residual_bn'])
-            rbn_s[i, 0, :co] = np.asarray(jax.device_get(rsc))
-            rbn_t[i, 0, :co] = np.asarray(jax.device_get(rsh))
-            if 'residual_bias' in p:
-                # fold conv bias into the BN shift: (x@W + b)*s + t
-                rbn_t[i, 0, :co] += (
-                    np.asarray(jax.device_get(p['residual_bias']))
-                    * rbn_s[i, 0, :co])
-        prel[i, 0, :] = float(np.asarray(
-            jax.device_get(p['PReLU_0']['negative_slope'])).reshape(-1)[0])
-        eks[i] = _pad_to(p['emb_kernel'], (emb_dim, CP))
-        ebs[i, 0, :co] = np.asarray(jax.device_get(p['emb_bias']))
-
-    ds = np.zeros((n_j, KP, KP), np.float32)
-    d_row_s = np.zeros((n_j, KP, 8), np.float32)
-    d_row_t = np.zeros((n_j, KP, 8), np.float32)
-    for j, (name, tvi, tvo) in enumerate(joint_layers):
-        p, s = params[name], batch_stats[name]
-        d = _block_diag_joint_mix(p['kernel'], t)
-        ds[j] = _pad_to(d, (KP, KP))
-        sc, sh = _fold_bn(p['BatchNorm_0'], s['BatchNorm_0'])
-        v_out = np.asarray(jax.device_get(p['kernel'])).shape[1]
-        bias = (np.asarray(jax.device_get(p['bias']))
-                if 'bias' in p else np.zeros(v_out, np.float32))
-        row_s = np.tile(np.asarray(jax.device_get(sc)), t)
-        row_t = np.tile(np.asarray(jax.device_get(sh))
-                        + bias * np.asarray(jax.device_get(sc)), t)
-        d_row_s[j, :tvo, 0] = row_s
-        d_row_t[j, :tvo, 0] = row_t
-
-    # ---- op program ----
-    g = iter(range(n_g))
-    jt = iter(range(n_j))
-    program: List[_OpSpec] = []
-
-    def G(tv, ci, co):
-        i = next(g)
-        program.append(_OpSpec('gcn', i, tv, tv, ci, co,
-                               has_res_flags[i], -1))
-
-    def J(tvi, tvo, c):
-        program.append(_OpSpec('joint', next(jt), tvi, tvo, c, c, False, -1))
-
-    G(tva, c_in, dn[0]); G(tva, dn[0], dn[1]); G(tva, dn[1], dn[2])
-    program.append(_OpSpec('save', -1, tva, tva, dn[2], dn[2], False, 0))
-    J(tva, tvb, dn[2])
-    G(tvb, dn[2], dn[3]); G(tvb, dn[3], dn[4])
-    program.append(_OpSpec('save', -1, tvb, tvb, dn[4], dn[4], False, 1))
-    J(tvb, tvc, dn[4])
-    G(tvc, dn[4], dn[5]); G(tvc, dn[5], dn[6])
-    J(tvc, tvb, dn[6])
-    program.append(_OpSpec('add_skip', -1, tvb, tvb, dn[6], dn[6], False, 1))
-    G(tvb, dn[-1], up[0]); G(tvb, up[0], up[1])
-    J(tvb, tva, up[1])
-    program.append(_OpSpec('add_skip', -1, tva, tva, up[1], up[1], False, 0))
-    G(tva, up[1], up[2]); G(tva, up[2], up[3])
-    program.append(_OpSpec('add_input', -1, tva, tva, up[3], up[3], False, -1))
-
     cdt = compute_dtype
 
-    # ---- the kernel ----
-    def kernel(x_ref, emb_ref, ks_ref, ws_ref, bs_ref, bns_ref, bnt_ref,
-               rws_ref, rbns_ref, rbnt_ref, prel_ref, eks_ref, ebs_ref,
-               ds_ref, drs_ref, drt_ref, o_ref):
-        x0 = x_ref[:].astype(cdt)             # (NB, TVA, C_in)
-        emb = emb_ref[:].astype(cdt)          # (NB, E)
-        skips: Dict[int, Any] = {}
-        f = x0
+    gw = [_fold_gcn(params[n], batch_stats[n], cdt)
+          for n in ('p1a', 'd1_0', 'd1_1', 'd2_0', 'd2_1', 'd3_0', 'd3_1',
+                    'u4_0', 'u4_1', 'u3_0', 'u3_1')]
+    jw = [_fold_joint(params[n], batch_stats[n], t, cdt)
+          for n in ('down1', 'down2', 'up3', 'up2')]
 
-        prog = program if max_ops is None else program[:max_ops]
-        for op in prog:
-            if op.kind == 'save':
-                skips[op.slot] = f
-                continue
-            if op.kind == 'add_skip':
-                f = f + skips[op.slot]
-                continue
-            if op.kind == 'add_input':
-                f = f + x0
-                continue
-            if op.kind == 'joint':
-                d = ds_ref[op.idx, :op.tvi, :op.tvo].astype(cdt)
-                y = jax.lax.dot_general(
-                    f, d, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # (NB, C, TVo)
-                y = jnp.swapaxes(y, 1, 2)                 # (NB, TVo, C)
-                # keep slices >= 2-D (Mosaic dislikes 1-D intermediates)
-                rs = drs_ref[op.idx, :op.tvo, 0:1][None]  # (1, TVo, 1)
-                rt = drt_ref[op.idx, :op.tvo, 0:1][None]
-                f = (y * rs + rt).astype(cdt)
-                continue
+    flats: List[jnp.ndarray] = []
+    for w in gw:
+        flats += [w.k2, w.w2, w.bias, w.slope, w.we2, w.eb]
+        if w.wr2 is not None:
+            flats += [w.wr2]
+    for w in jw:
+        flats += [w.d2, w.rs, w.rt]
+    has_res = [w.wr2 is not None for w in gw]
 
-            # gcn layer.  Layers with tiny channel counts compute in f32:
-            # Mosaic lowers their rank-3 dots through a bf16 shape cast
-            # that is unsupported for small lane counts.
-            i = op.idx
-            ldt = jnp.float32 if min(op.ci, op.co) < 16 else cdt
-            fl = f.astype(ldt)
-            k = ks_ref[i, :op.tvi, :op.tvo].astype(ldt)
-            y = jax.lax.dot_general(
-                fl, k, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (NB, Ci, TVo)
-            y = jnp.swapaxes(y, 1, 2).astype(ldt)          # (NB, TVo, Ci)
-            w = ws_ref[i, :op.ci, :op.co].astype(ldt)
-            # Channel mix as a rank-3 last-dim contraction: no reshapes at
-            # all (sublane-merge reshapes fail to lower for small bf16
-            # lane counts: "unsupported shape cast").
-            y = jax.lax.dot_general(
-                y, w, dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (NB, TVo, Co)
-            if 'bn' not in debug_skip:
-                y = (y + bs_ref[i, :, :op.co][None]) \
-                    * bns_ref[i, :, :op.co][None] \
-                    + bnt_ref[i, :, :op.co][None]           # (1, 1, co)
+    def kernel(x_ref, semb_ref, *refs):
+        it = iter(refs)
+        ws = []
+        for hr in has_res:
+            w = dict(k2=next(it), w2=next(it), bias=next(it),
+                     slope=next(it), we2=next(it), eb=next(it),
+                     wr2=next(it) if hr else None)
+            ws.append(w)
+        js = [dict(d2=next(it), rs=next(it), rt=next(it)) for _ in jw]
+        o_ref = next(it)
 
-            if 'res' not in debug_skip:
-                if op.has_res:
-                    rw = rws_ref[i, :op.ci, :op.co].astype(ldt)
-                    r = jax.lax.dot_general(
-                        fl, rw, dimension_numbers=(((2,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    r = r * rbns_ref[i, :, :op.co][None] \
-                        + rbnt_ref[i, :, :op.co][None]
-                else:
-                    r = f.astype(jnp.float32)
-                y = y + r
-            if 'prelu' not in debug_skip:
-                a = prel_ref[i, :, 0:1][None]               # (1, 1, 1)
-                y = jnp.where(y >= 0, y, a * y)
+        def dg(a, b, dims):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(dims, ((), ())),
+                preferred_element_type=jnp.float32)
 
-            if 'emb' not in debug_skip:
-                e = jnp.dot(emb, eks_ref[i, :, :op.co].astype(cdt),
-                            preferred_element_type=jnp.float32) \
-                    + ebs_ref[i, :, :op.co]                 # (NB, Co)
-                y = y + e[:, None, :]
-            f = y.astype(cdt)
+        x0 = x_ref[:].astype(cdt)         # A: (C_in, TVA, NB)
+        semb = semb_ref[:].astype(cdt)    # (E, NB)
 
-        if max_ops is not None and f.shape != o_ref.shape:
-            # compile-bisection mode: partial-store into the output shape
-            o_ref[:] = jnp.zeros(o_ref.shape, o_ref.dtype)
-            tvm = min(f.shape[1], o_ref.shape[1])
-            cm = min(f.shape[2], o_ref.shape[2])
-            o_ref[:, :tvm, :cm] = f[:, :tvm, :cm].astype(o_ref.dtype)
-            return
-        o_ref[:] = f.astype(o_ref.dtype)
+        def gcn(f, w, in_b):
+            """One ST-GCNN layer; f in A (in_b=False) or B (in_b=True)
+            layout, output in A."""
+            f = f.astype(cdt)
+            if in_b:
+                g = dg(w['k2'][:], f, ((1,), (0,)))       # B -> B
+                r_dims = ((1,), (1,))
+            else:
+                g = dg(w['k2'][:], f, ((1,), (1,)))       # A -> B
+                r_dims = ((1,), (0,))
+            y = dg(w['w2'][:], g, ((1,), (1,)))           # -> A (Co, TV, NB)
+            if w['wr2'] is not None:
+                y = y + dg(w['wr2'][:], f, r_dims)
+            else:
+                y = y + (jnp.swapaxes(f, 0, 1) if in_b else f)
+            y = y + w['bias'][:]
+            a = w['slope'][0, 0]
+            y = jnp.where(y >= 0, y, a * y)
+            e = dg(w['we2'][:], semb, ((1,), (0,))) + w['eb'][:]  # (Co, NB)
+            return (y + e[:, None, :]).astype(cdt)
 
-    consts = [ks, ws, bs, bn_s, bn_t, rws, rbn_s, rbn_t, prel, eks, ebs,
-              ds, d_row_s, d_row_t]
-    # Under a grid, every spec needs an explicit block shape + index map;
-    # constants use the full array at block (0, ..., 0) every step.
+        def joint(f, w):
+            """Joint re-scaling; A input -> B output + row affine."""
+            h = dg(w['d2'][:], f.astype(cdt), ((1,), (1,)))
+            return (h * w['rs'][:] + w['rt'][:]).astype(cdt)
+
+        f = gcn(x0, ws[0], False)
+        f = gcn(f, ws[1], False)
+        f = gcn(f, ws[2], False)
+        d1 = f
+        f = joint(f, js[0])                               # B (TVB, ., NB)
+        f = gcn(f, ws[3], True)
+        f = gcn(f, ws[4], False)
+        d2 = f
+        f = joint(f, js[1])                               # B (TVC, ., NB)
+        f = gcn(f, ws[5], True)
+        f = gcn(f, ws[6], False)
+        f = jnp.swapaxes(joint(f, js[2]), 0, 1) + d2      # -> A
+        f = gcn(f, ws[7], False)
+        f = gcn(f, ws[8], False)
+        f = jnp.swapaxes(joint(f, js[3]), 0, 1) + d1      # -> A
+        f = gcn(f, ws[9], False)
+        f = gcn(f, ws[10], False)
+        o_ref[:] = (f.astype(jnp.float32)
+                    + x0.astype(jnp.float32)).astype(o_ref.dtype)
+
     const_specs = [
         pl.BlockSpec(c.shape, functools.partial(
-            lambda nd, i: (0,) * nd, c.ndim), memory_space=pltpu.VMEM)
-        for c in consts]
+            lambda ndim, i: (0,) * ndim, c.ndim), memory_space=pltpu.VMEM)
+        for c in flats]
+    params_kw = (dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_limit_bytes))
+        if vmem_limit_bytes and not interpret else {})
 
-    def call(x_ntvc: jnp.ndarray, silu_emb: jnp.ndarray) -> jnp.ndarray:
-        n = x_ntvc.shape[0]
+    def call(x_ctn: jnp.ndarray, silu_emb_en: jnp.ndarray) -> jnp.ndarray:
+        n = x_ctn.shape[2]
         n_pad = -(-n // nb) * nb
         if n_pad != n:
-            x_ntvc = jnp.pad(x_ntvc, ((0, n_pad - n), (0, 0), (0, 0)))
-            silu_emb = jnp.pad(silu_emb, ((0, n_pad - n), (0, 0)))
-        grid = (n_pad // nb,)
-        # VMEM footprint is dominated by tile-padding of small-lane tensors
-        # (C as low as 2 pads to 128 lanes); raise the scoped-vmem cap and
-        # keep NB modest.
-        params = (dict(compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit_bytes))
-            if vmem_limit_bytes and not interpret else {})
+            x_ctn = jnp.pad(x_ctn, ((0, 0), (0, 0), (0, n_pad - n)))
+            silu_emb_en = jnp.pad(silu_emb_en, ((0, 0), (0, n_pad - n)))
         out = pl.pallas_call(
             kernel,
-            grid=grid,
-            **params,
+            grid=(n_pad // nb,),
             in_specs=[
-                pl.BlockSpec((nb, tva, c_in), lambda i: (i, 0, 0),
+                pl.BlockSpec((c_in, tva, nb), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((nb, emb_dim), lambda i: (i, 0),
+                pl.BlockSpec((embedding_dim, nb), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ] + const_specs,
-            out_specs=pl.BlockSpec((nb, tva, c_in), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((c_in, tva, nb), lambda i: (0, 0, i),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_pad, tva, c_in),
-                                           x_ntvc.dtype),
+            out_shape=jax.ShapeDtypeStruct((c_in, tva, n_pad), x_ctn.dtype),
             interpret=interpret,
-        )(x_ntvc, silu_emb, *consts)
-        return out[:n]
+            **params_kw,
+        )(x_ctn, silu_emb_en, *flats)
+        return out[:, :, :n]
 
     return call

@@ -313,5 +313,16 @@ class Trainer:
                 # monitored metric unavailable (e.g. no validation split):
                 # still keep a resumable latest checkpoint
                 ckpt.save_last(state, epoch)
+            if self._wandb is not None and cfg.extras.get('log_model'):
+                # mirror the reference's WandbLogger(log_model='all')
+                # checkpoint upload (ref train_MoCoDAD.py:57-62)
+                try:
+                    import wandb
+                    art = wandb.Artifact(f'model-{cfg.dir_name}',
+                                         type='model')
+                    art.add_file(os.path.join(cfg.ckpt_dir, 'last.ckpt'))
+                    self._wandb.log_artifact(art)
+                except Exception as e:
+                    print(f'wandb log_model failed ({e})', file=sys.stderr)
         log_f.close()
         return state

@@ -27,12 +27,15 @@ def _cfg(**kw):
 def test_fast_denoiser_matches_module_forward(kw):
     model = MoCoDADModel(_cfg(**kw))
     variables = model.init_variables(jax.random.key(0))
-    # make BN running stats non-trivial so folding is actually exercised
-    _, _, mut = model.loss(
-        variables, jax.random.normal(jax.random.key(9), (16, 2, 6, 17)),
-        jax.random.key(10), train=True)
-    variables = {'params': variables['params'],
-                 'batch_stats': mut['batch_stats']}
+    if kw['conditioning_strategy'] == 'inject':
+        # make BN running stats non-trivial so folding is actually
+        # exercised (once is enough — the folding code is shared; the
+        # extra train-mode compiles per strategy dominated wall-time)
+        _, _, mut = model.loss(
+            variables, jax.random.normal(jax.random.key(9), (16, 2, 6, 17)),
+            jax.random.key(10), train=True)
+        variables = {'params': variables['params'],
+                     'batch_stats': mut['batch_stats']}
 
     b = 8
     x = jax.random.normal(jax.random.key(1),

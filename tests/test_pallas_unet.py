@@ -50,10 +50,11 @@ def test_pallas_kernel_matches_module_forward():
         v['params']['model'], v['batch_stats']['model'],
         c_in=2, n_frames=3, n_joints=17, embedding_dim=16,
         nb=8, compute_dtype=jnp.float32, interpret=True)
-    x_ntvc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)).reshape(n, 51, 2))
-    silu_emb = jax.nn.silu(sinusoidal_pos_encoding(t, 16) + cond_emb)
-    got = denoise(x_ntvc, silu_emb)
-    got_nctv = jnp.moveaxis(got.reshape(n, 3, 17, 2), -1, 1)
+    # kernel layout: (C, T*V, N) activations, (E, N) embedding
+    x_ctn = jnp.asarray(x.reshape(n, 2, 51).transpose(1, 2, 0))
+    silu_emb = jax.nn.silu(sinusoidal_pos_encoding(t, 16) + cond_emb).T
+    got = denoise(x_ctn, silu_emb)
+    got_nctv = jnp.transpose(got, (2, 0, 1)).reshape(n, 2, 3, 17)
     np.testing.assert_allclose(np.asarray(got_nctv), np.asarray(want),
                                rtol=5e-3, atol=5e-4)
 
@@ -66,13 +67,13 @@ def test_pallas_kernel_pads_ragged_batch():
         c_in=2, n_frames=3, n_joints=17, embedding_dim=16,
         nb=8, compute_dtype=jnp.float32, interpret=True)
     # n = 12 pads internally to 16; output sliced back
-    x = jax.random.normal(jax.random.key(0), (12, 51, 2))
-    e = jax.random.normal(jax.random.key(1), (12, 16))
+    x = jax.random.normal(jax.random.key(0), (2, 51, 12))
+    e = jax.random.normal(jax.random.key(1), (16, 12))
     out = denoise(x, e)
-    assert out.shape == (12, 51, 2)
-    # rows are independent: the first 8 match an nb-aligned call
-    out8 = denoise(x[:8], e[:8])
-    np.testing.assert_allclose(np.asarray(out[:8]), np.asarray(out8),
+    assert out.shape == (2, 51, 12)
+    # columns are independent: the first 8 match an nb-aligned call
+    out8 = denoise(x[:, :, :8], e[:, :8])
+    np.testing.assert_allclose(np.asarray(out[:, :, :8]), np.asarray(out8),
                                rtol=1e-5, atol=1e-6)
 
 

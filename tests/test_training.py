@@ -116,18 +116,18 @@ def test_resume_matches_uninterrupted_run(tmp_path):
     from mocodad_tpu.data.pipeline import PoseWindows
     rng = np.random.default_rng(1)
     ds = PoseWindows(
-        data=rng.normal(size=(128, 2, 6, 17)).astype(np.float32) * 0.1,
-        meta=np.zeros((128, 4), np.int64),
-        frames=np.tile(np.arange(1, 7, dtype=np.int32), (128, 1)),
+        data=rng.normal(size=(64, 2, 6, 17)).astype(np.float32) * 0.1,
+        meta=np.zeros((64, 4), np.int64),
+        frames=np.tile(np.arange(1, 7, dtype=np.int32), (64, 1)),
         num_transform=1)
 
     cfg_a = _tiny_cfg(tmp_path / 'a', use_ema=True)
-    full = Trainer(cfg_a, mesh=make_mesh(1)).fit(ds, n_epochs=4)
+    full = Trainer(cfg_a, mesh=make_mesh(1)).fit(ds, n_epochs=3)
 
     cfg_b = _tiny_cfg(tmp_path / 'b', use_ema=True)
     trainer_b = Trainer(cfg_b, mesh=make_mesh(1))
-    trainer_b.fit(ds, n_epochs=2)  # "killed" after epoch 1
-    resumed = trainer_b.fit(ds, n_epochs=4, resume='auto')
+    trainer_b.fit(ds, n_epochs=1)  # "killed" after epoch 0
+    resumed = trainer_b.fit(ds, n_epochs=3, resume='auto')
 
     assert int(resumed.step) == int(full.step)
     for x, y in zip(jax.tree_util.tree_leaves(full.params),
