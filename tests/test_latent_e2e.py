@@ -7,6 +7,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from mocodad_tpu.config import Config
 from mocodad_tpu.data import build_dataset, synthetic
 from mocodad_tpu.eval.harness import post_processing_from_config

@@ -77,6 +77,7 @@ def test_pallas_kernel_pads_ragged_batch():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_generate_statistics_match_module_path():
     cfg = _cfg(n_generated_samples=3)
     model = MoCoDADModel(cfg)
@@ -96,6 +97,5 @@ def test_pallas_generate_statistics_match_module_path():
 def test_pallas_eval_rejects_unsupported_strategy():
     model = MoCoDADModel(_cfg(conditioning_strategy='concat',
                               conditioning_indices=2))
-    variables = _trained_variables(model)
     with pytest.raises(ValueError):
-        model.build_pallas_eval(variables)
+        model.build_pallas_eval({'params': {}, 'batch_stats': {}})

@@ -149,7 +149,8 @@ def test_restore_variables_roundtrip(tmp_path):
              'opt_state': {}, 'ema_params': None, 'step': np.int32(3)}
     path = str(tmp_path / 'm.ckpt')
     save_checkpoint(path, state)
-    template = model.init_variables(jax.random.key(42))
+    template = jax.tree_util.tree_map(np.zeros_like,
+                                      jax.device_get(variables))
     restored = restore_variables(path, template)
     a = jax.tree_util.tree_leaves(variables['params'])
     b = jax.tree_util.tree_leaves(restored['params'])
