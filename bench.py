@@ -18,8 +18,6 @@ import json
 import os
 import time
 
-import numpy as np
-
 BASELINE_WINDOWS_PER_SEC = 2000.0
 
 BATCH = 1024

@@ -9,8 +9,8 @@ fast CSV reader (the reference uses np.loadtxt per file, utils/data.py:228).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, List
 
 import numpy as np
 

@@ -14,7 +14,7 @@ grouping).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -6,7 +6,7 @@ Behavioural counterpart of /root/reference/models/common/components.py
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

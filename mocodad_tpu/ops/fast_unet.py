@@ -23,12 +23,10 @@ tests/test_fast_unet.py.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mocodad_tpu.nn.components import sinusoidal_pos_encoding
 from mocodad_tpu.nn.stsgcn import compose_graph_operator

@@ -21,8 +21,8 @@ import numpy as np
 import optax
 
 from mocodad_tpu.config import Config
-from mocodad_tpu.data import (affine_transform_matrices, apply_affine_batch,
-                              build_dataset, make_loader, num_batches)
+from mocodad_tpu.data import (affine_transform_matrices,
+                              apply_affine_batch, make_loader, num_batches)
 from mocodad_tpu.data.pipeline import PoseWindows
 from mocodad_tpu.eval.harness import post_processing_from_config
 from mocodad_tpu.models import build_model

@@ -3,17 +3,16 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mocodad_tpu.config import Config
 from mocodad_tpu.models import MoCoDADModel
-from mocodad_tpu.parallel import make_mesh, shard_batch
+from mocodad_tpu.parallel import make_mesh
 from mocodad_tpu.training.checkpoint import (TopKCheckpointManager,
                                              load_checkpoint,
-                                             load_state_dict, merge_matching,
+                                             merge_matching,
                                              restore_variables,
                                              save_checkpoint)
-from mocodad_tpu.training.ema import ema_init, ema_update
+from mocodad_tpu.training.ema import ema_update
 from mocodad_tpu.training.loop import Trainer, monitored_metric_for
 
 
