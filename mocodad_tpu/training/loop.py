@@ -67,7 +67,7 @@ class Trainer:
         # metric stream, optional jax.profiler trace of the first steps,
         # and a NaN-check debug mode.
         self._wandb = None
-        if cfg.use_wandb:
+        if cfg.use_wandb and jax.process_index() == 0:
             try:
                 import wandb
                 self._wandb = wandb.init(
@@ -200,6 +200,11 @@ class Trainer:
                 {'params': variables['params'],
                  'batch_stats': variables.get('batch_stats', {})},
                 sb, jax.random.fold_in(rng, i))
+            if jax.process_count() > 1:
+                # multi-host: the result spans processes; gather the full
+                # per-window vector onto every host for scoring
+                from jax.experimental import multihost_utils
+                loss = multihost_utils.process_allgather(loss, tiled=True)
             valid = batch['mask'] > 0
             outs.append(np.asarray(loss)[valid])
             transs.append(batch['trans'][valid])
@@ -255,8 +260,12 @@ class Trainer:
         if start_epoch:
             ckpt.restore_index()
 
+        # multi-host: every process computes identically (replicated state,
+        # psum'd metrics); only process 0 writes artifacts
+        from mocodad_tpu.parallel import is_main_process
+        main = is_main_process()
         log_path = os.path.join(cfg.ckpt_dir, 'metrics.csv')
-        log_f = open(log_path, 'a')
+        log_f = open(log_path, 'a') if main else open(os.devnull, 'w')
 
         if self._profile_dir:
             jax.profiler.start_trace(self._profile_dir)
@@ -307,7 +316,9 @@ class Trainer:
                 self._profile_dir = None
 
             value = means.get(monitor)
-            if value is not None:
+            if not main:
+                pass                      # process 0 owns checkpoint files
+            elif value is not None:
                 ckpt.save(state, epoch, value)
             else:
                 # monitored metric unavailable (e.g. no validation split):

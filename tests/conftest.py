@@ -25,6 +25,14 @@ import jax  # noqa: E402
 # (must happen before any backend is initialized).
 jax.config.update('jax_platforms', 'cpu')
 
+# Persist compiled executables: jit compiles dominate suite wall-time on
+# this 1-core host, and many tests re-trace identical programs (e.g. the
+# resume test builds three Trainers). Re-runs of the suite then load from
+# disk instead of recompiling.
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.expanduser('~/.cache/jax_comp_tests'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

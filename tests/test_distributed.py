@@ -58,6 +58,17 @@ batch = {
 sharded = shard_batch(batch, mesh)
 state, metrics = step(state, sharded, rng)
 print(f'DIST_LOSS {float(metrics["loss"]):.8f}', flush=True)
+
+# and the evaluation path: per-window losses gathered onto every host
+from mocodad_tpu.data.pipeline import PoseWindows
+ds = PoseWindows(data=batch['data'], meta=batch['meta'],
+                 frames=batch['frames'], num_transform=1)
+out, trans, meta2, frames2 = trainer.evaluate(
+    ds, {'params': state.params, 'batch_stats': state.batch_stats}, rng)
+assert out.shape == (cfg.batch_size,), out.shape
+import numpy as _np
+assert _np.all(_np.isfinite(out))
+print(f'DIST_EVAL {float(out.mean()):.8f}', flush=True)
 '''
 
 
@@ -90,10 +101,14 @@ def test_two_process_cpu_mesh(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f'worker failed:\n{out}'
 
-    losses = []
+    losses, evals = [], []
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith('DIST_LOSS')]
-        assert lines, out
+        elines = [l for l in out.splitlines() if l.startswith('DIST_EVAL')]
+        assert lines and elines, out
         losses.append(float(lines[0].split()[1]))
-    # the data-parallel psum makes the loss identical on both hosts
+        evals.append(float(elines[0].split()[1]))
+    # the data-parallel psum makes the loss identical on both hosts, and
+    # the eval allgather gives every host the same full score vector
     assert abs(losses[0] - losses[1]) < 1e-7, losses
+    assert abs(evals[0] - evals[1]) < 1e-7, evals
