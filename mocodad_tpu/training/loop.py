@@ -23,6 +23,7 @@ import optax
 from mocodad_tpu.config import Config
 from mocodad_tpu.data import (affine_transform_matrices,
                               apply_affine_batch, make_loader, num_batches)
+from mocodad_tpu.data.prefetch import prefetch
 from mocodad_tpu.data.pipeline import PoseWindows
 from mocodad_tpu.eval.harness import post_processing_from_config
 from mocodad_tpu.models import build_model
@@ -193,9 +194,11 @@ class Trainer:
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
         outs, transs, metas, framess = [], [], [], []
-        for i, batch in enumerate(make_loader(ds, self.cfg.batch_size)):
-            sb = shard_batch({'data': batch['data'], 'trans': batch['trans']},
-                             self.mesh)
+        loader = prefetch(
+            make_loader(ds, self.cfg.batch_size),
+            place=lambda b: (b, shard_batch(
+                {'data': b['data'], 'trans': b['trans']}, self.mesh)))
+        for i, (batch, sb) in enumerate(loader):
             loss = self._eval_step(
                 {'params': variables['params'],
                  'batch_stats': variables.get('batch_stats', {})},
@@ -274,9 +277,11 @@ class Trainer:
         for epoch in range(start_epoch, n_epochs):
             epoch_metrics: Dict[str, list] = {}
             t0 = time.time()
-            for batch in make_loader(train_ds, cfg.batch_size, shuffle=True,
-                                     seed=cfg.seed + epoch):
-                sb = shard_batch(batch, self.mesh)
+            loader = prefetch(
+                make_loader(train_ds, cfg.batch_size, shuffle=True,
+                            seed=cfg.seed + epoch),
+                place=lambda b: shard_batch(b, self.mesh))
+            for sb in loader:
                 state, metrics = self._train_step(
                     state, sb, jax.random.fold_in(rng, state.step))
                 step += 1
