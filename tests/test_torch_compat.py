@@ -180,6 +180,86 @@ def test_full_model_export_convert_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_latent_model_export_convert_roundtrip(tmp_path):
+    """The latent variant exercises the Denoiser MLP (net.{i}/cond_layers)
+    and the STSE_Unet main-net mappings."""
+    from mocodad_tpu.models import MoCoDADLatentModel
+    model = MoCoDADLatentModel(_flagship_cfg(
+        diffusion_on_latent=True, stage='diffusion',
+        latent_embedding_dim=32, hidden_sizes=[32, 64, 32]))
+    variables = model.init_variables(jax.random.key(4))
+
+    sd = export_torch_state_dict(jax.device_get(variables))
+    assert any(k.startswith('denoiser.net.') for k in sd)
+    assert any(k.startswith('denoiser.cond_layers.') for k in sd)
+    tensors = {k: torch.from_numpy(np.array(v, copy=True))
+               for k, v in sd.items()}
+    path = str(tmp_path / 'latent.ckpt')
+    torch.save({'state_dict': tensors}, path)
+
+    restored = load_torch_checkpoint(path, variables, strict=True)
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_denoiser_mlp_conversion_matches_torch():
+    """Torch-side Denoiser stack (Sequential Linear+BN1d+ReLU layers with
+    additive cond projections, ref components.py:229-245) converts to the
+    flax Denoiser with identical forwards."""
+    from mocodad_tpu.nn.components import Denoiser
+    torch.manual_seed(5)
+    sizes, cond = [16, 32, 16], 8
+
+    class TorchDenoiser(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.net = tnn.ModuleList()
+            self.cond_layers = tnn.ModuleList()
+            d = sizes[0]
+            for i, nxt in enumerate(sizes[1:]):
+                last = i == len(sizes) - 2
+                self.cond_layers.append(tnn.Linear(cond, nxt))
+                if last:
+                    self.net.append(tnn.Linear(d, nxt))
+                else:
+                    self.net.append(tnn.Sequential(
+                        tnn.Linear(d, nxt), tnn.BatchNorm1d(nxt),
+                        tnn.ReLU()))
+                d = nxt
+
+        def forward(self, x, c):
+            for i, layer in enumerate(self.net):
+                x = layer(x) + self.cond_layers[i](c)
+            return x
+
+    td = TorchDenoiser()
+    _randomize_bn(td.net[0][1])
+    td.eval()
+    x = torch.randn(6, sizes[0])
+    t = torch.full((6,), 3.0)
+    c = torch.randn(6, cond)
+
+    conv = convert_torch_state_dict(
+        {f'denoiser.{k}': v for k, v in td.state_dict().items()})
+    assert not conv['_unmapped']
+
+    import jax.numpy as jnp
+    from mocodad_tpu.nn.components import sinusoidal_pos_encoding
+    emb = sinusoidal_pos_encoding(jnp.asarray(t.numpy()), cond)
+    with torch.no_grad():
+        want = td(x, torch.from_numpy(np.asarray(emb)) +
+                  c).numpy()
+
+    fl = Denoiser(input_size=sizes[0], hidden_sizes=sizes[1:],
+                  cond_size=cond)
+    got = fl.apply({'params': conv['params']['denoiser'],
+                    'batch_stats': conv['batch_stats']['denoiser']},
+                   jnp.asarray(x.numpy()), jnp.asarray(t.numpy()),
+                   jnp.asarray(c.numpy()), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
 def test_map_torch_key_ignores_bookkeeping():
     assert map_torch_key('model.st_gcnnsd1.0.tcn.1.num_batches_tracked',
                          np.zeros(())) is None
