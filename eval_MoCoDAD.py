@@ -11,6 +11,9 @@ def main():
     parser = argparse.ArgumentParser(description='MoCoDAD')
     parser.add_argument('-c', '--config', type=str, required=True)
     parser.add_argument('--n-devices', type=int, default=None)
+    parser.add_argument('--report', action='store_true',
+                        help='also write the per-clip score-analysis HTML '
+                             'report (viz/report.py) next to the AUC')
     cli = parser.parse_args()
 
     from mocodad_tpu.config import load_config
@@ -27,6 +30,9 @@ def main():
         auc = post_processing_from_config(
             t['prediction'], t['trans'], t['metadata'], t['frames'], cfg)
         print(f'AUC score: {auc:.6f}')
+        if cli.report:
+            _write_report(t['prediction'], t['trans'], t['metadata'],
+                          t['frames'], cfg, auc)
         return auc
 
     import jax
@@ -66,7 +72,18 @@ def main():
 
     auc = post_processing_from_config(out, trans, meta, frames, cfg)
     print(f'AUC score: {auc:.6f}')
+    if cli.report:
+        _write_report(out, trans, meta, frames, cfg, auc)
     return auc
+
+
+def _write_report(out, trans, meta, frames, cfg, auc):
+    from mocodad_tpu.viz import html_report
+    path = os.path.join(cfg.ckpt_dir, f'report_{cfg.split}.html')
+    html_report(out, trans, meta, frames, cfg.gt_path, path,
+                frames_shift=cfg.frames_shift,
+                kernel_size=cfg.filter_kernel_size, auc=auc)
+    print(f'report written to {path}')
 
 
 if __name__ == '__main__':

@@ -104,7 +104,11 @@ def test_predict_then_replay_matches_direct_eval(workspace):
     replay_cfg = dict(workspace['test_cfg'], load_tensors=True)
     replay_yaml = workspace['root'] / 'replay.yaml'
     replay_yaml.write_text(yaml.safe_dump(replay_cfg))
-    replay = _auc(_run(['eval_MoCoDAD.py', '--config', str(replay_yaml)]))
+    replay = _auc(_run(['eval_MoCoDAD.py', '--config', str(replay_yaml),
+                        '--report']))
 
     assert abs(direct - replay) < 1e-9, (direct, replay)
     assert 0.0 <= direct <= 1.0
+    # --report writes the self-contained score-analysis page
+    report = ckpt_dir / 'report_test.html'
+    assert report.exists() and 'base64' in report.read_text()[:200000]
