@@ -203,6 +203,25 @@ def test_latent_model_export_convert_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_e_unet_condition_encoder_roundtrip(tmp_path):
+    """E_unet conditioning maps through the same st_gcnns* naming under
+    the condition_encoder prefix (no emb layers: embedding_dim=None)."""
+    model = MoCoDADModel(_flagship_cfg(conditioning_architecture='E_unet'))
+    variables = model.init_variables(jax.random.key(6))
+    sd = export_torch_state_dict(jax.device_get(variables))
+    assert any(k.startswith('condition_encoder.st_gcnnsp1a') for k in sd)
+    assert not any('condition_encoder' in k and 'emb_layer' in k
+                   for k in sd)
+    tensors = {k: torch.from_numpy(np.array(v, copy=True))
+               for k, v in sd.items()}
+    path = str(tmp_path / 'eunet.ckpt')
+    torch.save({'state_dict': tensors}, path)
+    restored = load_torch_checkpoint(path, variables, strict=True)
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_denoiser_mlp_conversion_matches_torch():
     """Torch-side Denoiser stack (Sequential Linear+BN1d+ReLU layers with
     additive cond projections, ref components.py:229-245) converts to the
