@@ -27,26 +27,44 @@ def prefetch(iterator: Iterator[Dict[str, np.ndarray]],
     `lambda b: shard_batch(b, mesh)`) so device placement is also issued
     ahead of consumption; jax transfers are async, so this just fronts
     the dispatch cost.
+
+    The producer shuts down promptly if the consumer abandons the
+    iterator (generator close / GC / an exception in the consuming loop):
+    queue puts poll a stop flag instead of blocking forever.
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
     err = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in iterator:
-                q.put(place(batch) if place is not None else batch)
+                if not _put(place(batch) if place is not None else batch):
+                    return
         except BaseException as e:  # surface worker errors to the consumer
             err.append(e)
         finally:
-            q.put(_END)
+            _put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()

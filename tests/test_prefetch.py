@@ -19,6 +19,29 @@ def test_prefetch_place_runs_in_producer():
     assert [float(b['x2'][0]) for b in out] == [0.0, 2.0, 4.0, 6.0, 8.0]
 
 
+def test_prefetch_producer_stops_on_abandoned_iterator():
+    import threading
+    import time
+
+    started = threading.Event()
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            started.set()
+            produced.append(i)
+            yield {'x': np.zeros(1)}
+
+    it = prefetch(gen(), depth=1)
+    next(it)
+    started.wait(5)
+    it.close()          # consumer walks away mid-stream
+    time.sleep(0.5)     # producer must unblock and exit, not spin forever
+    n = len(produced)
+    time.sleep(0.3)
+    assert len(produced) == n  # no further production after close
+
+
 def test_prefetch_propagates_worker_errors():
     def gen():
         yield {'x': np.zeros(1)}
