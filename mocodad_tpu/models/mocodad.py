@@ -241,13 +241,22 @@ class MoCoDADModel:
 
     def generate(self, variables: Dict[str, Any], data: jnp.ndarray,
                  rng: jax.Array, aggr_strategy: Optional[str] = None,
-                 n_samples: Optional[int] = None
+                 n_samples: Optional[int] = None,
+                 noise_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]]
+                 = None
                  ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
         """Sample S futures per window and aggregate
         (ref `forward`, models/mocodad.py:129-184).
 
         Returns (selected_x, loss_of_selected_x); selected_x is None for
         loss-only aggregations, matching the reference.
+
+        `noise_override`, when given, is `(x0, zs)` — the initial noise
+        (S*B, C, Tc, V) and the per-step noise (noise_steps-1, S*B, C,
+        Tc, V), both in the b-major sample fold (row = b*S + s).  It
+        replaces the internal gaussian draws so the sampling chain can be
+        compared step-for-step against an external oracle (the reference
+        torch loop); normal callers never pass it.
         """
         aggr = aggr_strategy or self.aggregation_strategy
         s = n_samples or self.n_generated_samples
@@ -282,14 +291,19 @@ class MoCoDADModel:
 
         corrupt_shape = (s * b, self.num_coords, self.n_frames_corrupt,
                          self.n_joints)
-        x0 = jax.random.normal(r_init, corrupt_shape, dtype=data.dtype)
         ts = jnp.arange(self.schedule.noise_steps - 1, 0, -1)
-        keys = jax.random.split(r_steps, ts.shape[0])
+        if noise_override is not None:
+            x0, z_src = noise_override
+            x0 = jnp.asarray(x0, dtype=data.dtype)
+            z_src = jnp.asarray(z_src, dtype=data.dtype)
+        else:
+            x0 = jax.random.normal(r_init, corrupt_shape, dtype=data.dtype)
+            z_src = jax.random.split(r_steps, ts.shape[0])
 
         denoise_fn = self._make_denoise_fn(variables)
 
         def step(x, inputs):
-            t_scalar, key = inputs
+            t_scalar, z_in = inputs
             x_in = F.assemble_input(self.strategy, cond_tiled, x,
                                     order_tiled, self.n_frames_condition)
             tb = jnp.full((s * b,), t_scalar, dtype=jnp.int32)
@@ -304,12 +318,13 @@ class MoCoDADModel:
             c1 = (1.0 / jnp.sqrt(a)).astype(x.dtype)
             c2 = ((1.0 - a) / jnp.sqrt(1.0 - a_hat)).astype(x.dtype)
             c3 = jnp.sqrt(beta).astype(x.dtype)
-            z = jax.random.normal(key, x.shape, dtype=x.dtype)
+            z = (z_in if noise_override is not None else
+                 jax.random.normal(z_in, x.shape, dtype=x.dtype))
             z = jnp.where(t_scalar > 1, z, jnp.zeros_like(z))
             x = c1 * (x - c2 * eps) + c3 * z
             return x, None
 
-        x, _ = jax.lax.scan(step, x0, (ts, keys))
+        x, _ = jax.lax.scan(step, x0, (ts, z_src))
         xs = x.reshape((b, s) + x.shape[1:]).astype(jnp.float32)
         xs = jnp.moveaxis(xs, 1, 0)  # (S, B, ...)
         return aggregate(aggr, self.loss_kind, xs,
