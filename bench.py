@@ -35,6 +35,76 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       os.path.expanduser('~/.cache/jax_comp'))
 
 
+def measure_baseline(cfg, variables, data):
+    """Measure the REFERENCE's eval dispatch pattern on this same chip.
+
+    The torch loop (ref models/mocodad.py:160-180) issues
+    n_generated_samples x (noise_steps-1) = 450 sequential Python-dispatched
+    U-Net forwards per batch — no sample fold, no scan, f32 — then scores
+    each sample separately (ref :484-512).  This reproduces exactly that
+    dispatch pattern here (each step is one compiled launch, which is
+    *generous* to the baseline: torch dispatches ~100 kernels per step),
+    so the fused-path ratio is a measured same-hardware architecture win,
+    not a cross-stack estimate.
+    """
+    import jax
+    import jax.numpy as jnp
+    from mocodad_tpu.config import from_dict
+    from mocodad_tpu.models import MoCoDADModel
+    from mocodad_tpu.models import frames as F
+    from mocodad_tpu.models.mocodad import MoCoDADNet
+    from mocodad_tpu.models.losses import per_sample_losses
+
+    raw = cfg.to_dict()
+    raw.update(eval_dtype='float32', fast_eval=False)
+    model = MoCoDADModel(from_dict(raw))
+    sched = model.schedule
+    n_cond = model.n_frames_condition
+
+    @jax.jit
+    def prepare(variables, data):
+        cond, corrupt = F.select_frames(data, model._static_order, n_cond)
+        emb, _ = model.net.apply(variables, cond,
+                                 method=MoCoDADNet.encode_condition)
+        return cond, corrupt, emb
+
+    @jax.jit
+    def ref_step(variables, x, emb, i, key):
+        tb = jnp.full((x.shape[0],), i, dtype=jnp.int32)
+        eps = model.net.apply(variables, x, tb, emb,
+                              method=MoCoDADNet.denoise)
+        a, ah, be = sched.alpha[i], sched.alpha_hat[i], sched.beta[i]
+        z = jax.random.normal(key, x.shape, x.dtype)
+        z = jnp.where(i > 1, z, jnp.zeros_like(z))
+        return (1.0 / jnp.sqrt(a)) * (
+            x - ((1.0 - a) / jnp.sqrt(1.0 - ah)) * eps) + jnp.sqrt(be) * z
+
+    sample_loss = jax.jit(lambda x, tgt: per_sample_losses(
+        model.loss_kind, x[None], tgt)[0])
+
+    b = data.shape[0]
+    shape = (b, model.num_coords, model.n_frames_corrupt, model.n_joints)
+
+    def one_batch(key):
+        cond, corrupt, emb = prepare(variables, data)
+        best = None
+        for s in range(N_GENERATED):
+            key, k0 = jax.random.split(key)
+            x = jax.random.normal(k0, shape)
+            for i in range(NOISE_STEPS - 1, 0, -1):
+                key, kz = jax.random.split(key)
+                x = ref_step(variables, x, emb, i, kz)
+            loss = sample_loss(x, corrupt)
+            best = loss if best is None else jnp.minimum(best, loss)
+        return best
+
+    one_batch(jax.random.key(0)).block_until_ready()  # compile warmup
+    t0 = time.perf_counter()
+    one_batch(jax.random.key(1)).block_until_ready()
+    dt = time.perf_counter() - t0
+    return b / dt
+
+
 def main():
     import sys
     import jax
@@ -92,6 +162,17 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
 
     wps = BATCH / dt
+
+    # Same-chip measured baseline: the reference's dispatch pattern
+    # (per-sample per-step sequential launches, f32, no fold/scan).
+    baseline_measured = None
+    if os.environ.get('MOCODAD_BENCH_BASELINE', '1') != '0':
+        try:
+            baseline_measured = measure_baseline(cfg, variables, data)
+        except Exception as e:
+            print(f'baseline measurement failed ({str(e)[:120]})',
+                  file=sys.stderr)
+
     # MFU / roofline context: useful FLOPs of the sampling chain vs chip
     # peak, plus the MXU-granularity ceiling this topology allows
     c = unet_cost(model.input_n_frames, model.n_joints)
@@ -102,7 +183,7 @@ def main():
         c.mxu_row_cost * n_forwards / PEAK_BF16_FLOPS)
     hbm_roundtrip_ms = (2 * c.act_bytes * n_forwards / HBM_BYTES_PER_S) * 1e3
 
-    print(json.dumps({
+    out = {
         'metric': 'eval_windows_per_sec_per_chip',
         'value': round(wps, 1),
         'unit': f'windows/s (50 samples x 9 DDPM steps each; {label})',
@@ -117,7 +198,16 @@ def main():
             'kernel-launch-bound, ~450 sequential U-Net dispatches/batch '
             '(ref models/mocodad.py:160-180) ~= 0.5 s/1024 windows on a '
             'modern GPU => 2000 w/s; repo publishes no measured number',
-    }))
+    }
+    if baseline_measured is not None:
+        out['baseline_measured_windows_per_sec'] = round(baseline_measured, 1)
+        out['vs_baseline_measured'] = round(wps / baseline_measured, 2)
+        out['baseline_measured_derivation'] = (
+            'same chip, reference dispatch pattern: 50x9 sequential '
+            'compiled U-Net launches per batch, f32, no S-fold/scan '
+            '(ref models/mocodad.py:160-180); vs_baseline keeps the '
+            'conservative cross-stack 2000 w/s estimate as denominator')
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':
