@@ -4,7 +4,6 @@ the reference's eval_MoCoDAD.py, including the load_tensors replay path)."""
 import argparse
 import os
 
-import numpy as np
 
 
 def main():
@@ -24,21 +23,31 @@ def main():
 
     if cfg.load_tensors:
         # Scoring-only replay of cached predictions
-        # (ref: models/mocodad.py:433-448)
+        # (ref: models/mocodad.py:433-448).  Caches written under
+        # model_return_value 'pose'/'all' carry the loss route in a
+        # separate 'loss' tensor (see pack_prediction_tensors) — prefer it
+        # so scoring stays correct regardless of what 'prediction' holds.
         t = load_tensors(cfg.ckpt_dir, cfg.split, cfg.aggregation_strategy,
                          cfg.n_generated_samples)
+        pred = t.get('loss', t['prediction'])
         auc = post_processing_from_config(
-            t['prediction'], t['trans'], t['metadata'], t['frames'], cfg)
+            pred, t['trans'], t['metadata'], t['frames'], cfg)
         print(f'AUC score: {auc:.6f}')
         if cli.report:
-            _write_report(t['prediction'], t['trans'], t['metadata'],
+            _write_report(pred, t['trans'], t['metadata'],
                           t['frames'], cfg, auc)
         return auc
 
+    # multi-host eval: form the global runtime before any backend init so
+    # Trainer.run_inference's cross-process gather branch is reachable
+    from mocodad_tpu.parallel import maybe_initialize
+    maybe_initialize()
+
     import jax
-    from mocodad_tpu.data import affine_transform_matrices, build_dataset
+    from mocodad_tpu.data import build_dataset, transformed_gt_data
     from mocodad_tpu.training.checkpoint import restore_variables
     from mocodad_tpu.training.loop import Trainer
+    from mocodad_tpu.utils.tensors import pack_prediction_tensors
 
     print('Loading data and creating loaders.....')
     ds = build_dataset(cfg, split=cfg.split)
@@ -50,25 +59,16 @@ def main():
     ckpt_path = os.path.join(cfg.ckpt_dir, cfg.load_ckpt)
     variables = restore_variables(ckpt_path, template, use_ema=cfg.use_ema)
 
-    out, trans, meta, frames = trainer.evaluate(
-        ds, variables, jax.random.key(cfg.seed))
+    res = trainer.run_inference(ds, variables, jax.random.key(cfg.seed))
+    out, trans, meta, frames = (res['loss'], res['trans'], res['meta'],
+                                res['frames'])
 
     if cfg.save_tensors:
-        # reconstruct the transformed input windows (the reference's
-        # 'gt_data' tensor) transform-block by transform-block
-        mats = affine_transform_matrices(max(cfg.num_transform, 1))
-        blocks = []
-        for k in range(max(ds.num_transform, 1)):
-            m = mats[k]
-            xy = np.einsum('dk,bktv->bdtv', m[:2, :2], ds.data[:, :2])
-            xy += m[:2, 2][None, :, None, None]
-            blocks.append(np.concatenate([xy, ds.data[:, 2:]], axis=1)
-                          if ds.data.shape[1] > 2 else xy)
-        gt_data = np.concatenate(blocks, axis=0)
-        save_tensors({'prediction': out, 'gt_data': gt_data, 'trans': trans,
-                      'metadata': meta, 'frames': frames},
-                     cfg.ckpt_dir, cfg.split, cfg.aggregation_strategy,
-                     cfg.n_generated_samples)
+        tensors = pack_prediction_tensors(
+            res, trainer.model.model_return_value,
+            gt_data=transformed_gt_data(ds.data, ds.num_transform))
+        save_tensors(tensors, cfg.ckpt_dir, cfg.split,
+                     cfg.aggregation_strategy, cfg.n_generated_samples)
 
     auc = post_processing_from_config(out, trans, meta, frames, cfg)
     print(f'AUC score: {auc:.6f}')

@@ -60,7 +60,19 @@ def prefetch(iterator: Iterator[Dict[str, np.ndarray]],
     t.start()
     try:
         while True:
-            item = q.get()
+            try:
+                # bounded wait: if the producer thread dies without ever
+                # enqueuing the sentinel (interpreter teardown, thread
+                # killed), surface an error instead of blocking forever
+                item = q.get(timeout=5.0)
+            except queue.Empty:
+                if not t.is_alive() and q.empty():
+                    if err:
+                        raise err[0]
+                    raise RuntimeError(
+                        'prefetch producer died without signalling '
+                        'end-of-stream')
+                continue
             if item is _END:
                 if err:
                     raise err[0]

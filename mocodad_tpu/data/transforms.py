@@ -68,6 +68,23 @@ def apply_affine_np(pose: np.ndarray, mat: np.ndarray) -> np.ndarray:
     return out[:2]
 
 
+def transformed_gt_data(data: np.ndarray, num_transform: int) -> np.ndarray:
+    """All affine views of the stored-once windows, stacked transform-major
+    (transform 0 block first): the reference's saved 'gt_data' tensor
+    (ref predict_MoCoDAD.py:31-36 via utils/model_utils.py:110-137; the
+    reference materializes the dataset num_transform times instead,
+    utils/dataset.py:70-75).  data is (N, C, T, V); returns (K*N, C, T, V).
+    """
+    mats = affine_transform_matrices(max(num_transform, 1))
+    blocks = []
+    for m in mats:
+        xy = np.einsum('dk,bktv->bdtv', m[:2, :2], data[:, :2])
+        xy += m[:2, 2][None, :, None, None]
+        blocks.append(np.concatenate([xy, data[:, 2:]], axis=1)
+                      if data.shape[1] > 2 else xy)
+    return np.concatenate(blocks, axis=0)
+
+
 def apply_affine_batch(data, mats, trans_idx):
     """Device-side batched affine: data (B, C, T, V) with C>=2, mats
     (K, 3, 3), trans_idx (B,) int -> transformed data.

@@ -417,14 +417,6 @@ class MoCoDADModel:
         return lambda x, tb, emb: self.net.apply(
             variables, x, tb, emb, method=MoCoDADNet.denoise)
 
-    def pack_output(self, selected_x, loss_of_selected_x,
-                    return_: Optional[str] = None):
-        """(ref `_pack_out_data`, models/mocodad.py:606-636)."""
-        return_ = return_ or self.model_return_value
-        if return_ == 'pose':
-            return [selected_x]
-        if return_ == 'loss':
-            return [loss_of_selected_x]
-        if return_ == 'all':
-            return [loss_of_selected_x, selected_x]
-        raise ValueError(f'unknown model_return_value {return_!r}')
+# model_return_value packing (ref `_pack_out_data`, models/mocodad.py:
+# 606-636) lives in utils/tensors.pack_prediction_tensors, consumed by
+# Trainer.run_inference callers (eval/predict CLIs).

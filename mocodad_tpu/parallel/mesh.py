@@ -51,10 +51,22 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = 'data') -> dict:
     result is a global jax.Array (see parallel/distributed.py)."""
     sh = batch_sharding(mesh, axis_name)
     if jax.process_count() > 1:
-        # every process's loader yields the same (seeded) global batch;
-        # each contributes its own contiguous row range
+        # Every process's loader yields the same (seeded) global batch and
+        # contributes its own contiguous row range.  Host cost note: each
+        # host therefore materializes the FULL global batch in RAM before
+        # slicing — fine at the few-host scale this model needs, O(hosts)
+        # waste at pod scale, where the loader should shard files per
+        # process instead (build_dataset consumes a directory tree, so a
+        # per-process subset of clips is the natural unit).
         from mocodad_tpu.parallel.distributed import make_global_batch
         n_proc, pid = jax.process_count(), jax.process_index()
+        if n_proc > 8 and not getattr(shard_batch, '_warned_pod_scale',
+                                      False):
+            import sys
+            print(f'WARNING: {n_proc} processes each load the full global '
+                  'batch host-side; shard the data tree per process at '
+                  'this scale', file=sys.stderr)
+            shard_batch._warned_pod_scale = True
         local = {}
         for k, v in batch.items():
             rows = v.shape[0]

@@ -62,7 +62,7 @@ class Trainer:
         self.trans_mats = affine_transform_matrices(max(cfg.num_transform, 1))
         self.use_ema = bool(cfg.use_ema)
         self._train_step = None
-        self._eval_step = None
+        self._eval_step: Dict[bool, Any] = {}
         self._log_every = int(cfg.extras.get('log_every_n_steps', 20))
         # Observability (SURVEY.md section 5): optional wandb mirror of the
         # metric stream, optional jax.profiler trace of the first steps,
@@ -164,7 +164,7 @@ class Trainer:
 
         return jax.jit(train_step, donate_argnums=(0,))
 
-    def _build_eval_step(self):
+    def _build_eval_step(self, with_pose: bool):
         model = self.model
         mats = self.trans_mats
         n_cond = model.n_frames_condition
@@ -172,49 +172,79 @@ class Trainer:
         def eval_step(variables, batch, rng):
             data = apply_affine_batch(batch['data'], mats, batch['trans'])
             if getattr(model, 'stage', None) == 'pretrain':
-                # validation metric is plain reconstruction loss
-                # (ref: mocodad_latent.py:192-197, 217-218)
+                # prediction is the reconstructed pose; validation metric
+                # is plain reconstruction loss
+                # (ref: mocodad_latent.py:131-132, 192-197, 217-218)
                 from mocodad_tpu.models import frames as F
                 order = model.frame_order(rng, data.shape[0])
                 _, corrupt = F.select_frames(data, order, n_cond)
                 pose, _ = model.generate(variables, data, rng)
                 per = elementwise_loss(model.loss_kind, pose, corrupt)
-                return per.reshape(per.shape[0], -1).mean(axis=-1)
-            _, loss = model.generate(variables, data, rng)
-            return loss
+                loss = per.reshape(per.shape[0], -1).mean(axis=-1)
+                return loss, (pose if with_pose else None)
+            sel, loss = model.generate(variables, data, rng)
+            return loss, (sel if with_pose else None)
 
         return jax.jit(eval_step)
 
     # ---- loops -----------------------------------------------------------
 
-    def evaluate(self, ds: PoseWindows, variables, rng,
-                 collect: bool = False):
-        """Run generation over a dataset; returns (per-window outputs,
-        trans, meta, frames) as host arrays with padding stripped."""
-        if self._eval_step is None:
-            self._eval_step = self._build_eval_step()
-        outs, transs, metas, framess = [], [], [], []
+    def run_inference(self, ds: PoseWindows, variables, rng,
+                      with_pose: Optional[bool] = None) -> Dict[str, Any]:
+        """Run generation over a dataset once.
+
+        Returns host arrays with padding stripped: {'loss': (N,), 'pose':
+        (N, C, Tc, V) or None, 'trans', 'meta', 'frames'}.  `with_pose`
+        defaults to whether the configured `model_return_value` needs the
+        selected poses ('pose'/'all', ref models/mocodad.py:606-636); the
+        loss vector is always produced since scoring consumes it.
+        """
+        if with_pose is None:
+            with_pose = self.model.model_return_value in ('pose', 'all')
+        aggr = str(self.model.aggregation_strategy)
+        if with_pose and (aggr in ('mean', 'median') or 'quantile' in aggr):
+            raise ValueError(
+                f"model_return_value '{self.model.model_return_value}' "
+                f"needs selected poses, but aggregation strategy "
+                f"'{self.model.aggregation_strategy}' is loss-only "
+                f"(ref models/mocodad.py:492-501 returns selected_x=None)")
+        if with_pose not in self._eval_step:
+            self._eval_step[with_pose] = self._build_eval_step(with_pose)
+        step_fn = self._eval_step[with_pose]
+        outs: Dict[str, list] = {k: [] for k in
+                                 ('loss', 'pose', 'trans', 'meta', 'frames')}
         loader = prefetch(
             make_loader(ds, self.cfg.batch_size),
             place=lambda b: (b, shard_batch(
                 {'data': b['data'], 'trans': b['trans']}, self.mesh)))
         for i, (batch, sb) in enumerate(loader):
-            loss = self._eval_step(
+            loss, pose = step_fn(
                 {'params': variables['params'],
                  'batch_stats': variables.get('batch_stats', {})},
                 sb, jax.random.fold_in(rng, i))
             if jax.process_count() > 1:
                 # multi-host: the result spans processes; gather the full
-                # per-window vector onto every host for scoring
+                # per-window vectors onto every host for scoring
                 from jax.experimental import multihost_utils
                 loss = multihost_utils.process_allgather(loss, tiled=True)
+                if pose is not None:
+                    pose = multihost_utils.process_allgather(pose,
+                                                             tiled=True)
             valid = batch['mask'] > 0
-            outs.append(np.asarray(loss)[valid])
-            transs.append(batch['trans'][valid])
-            metas.append(batch['meta'][valid])
-            framess.append(batch['frames'][valid])
-        return (np.concatenate(outs), np.concatenate(transs),
-                np.concatenate(metas), np.concatenate(framess))
+            outs['loss'].append(np.asarray(loss)[valid])
+            if pose is not None:
+                outs['pose'].append(np.asarray(pose)[valid])
+            outs['trans'].append(batch['trans'][valid])
+            outs['meta'].append(batch['meta'][valid])
+            outs['frames'].append(batch['frames'][valid])
+        return {k: (np.concatenate(v) if v else None)
+                for k, v in outs.items()}
+
+    def evaluate(self, ds: PoseWindows, variables, rng):
+        """Loss-route inference: (per-window losses, trans, meta, frames)
+        as host arrays — the input of the scoring chain."""
+        r = self.run_inference(ds, variables, rng, with_pose=False)
+        return r['loss'], r['trans'], r['meta'], r['frames']
 
     def validation_metric(self, ds: PoseWindows, variables, rng) -> Dict:
         out, trans, meta, frames = self.evaluate(ds, variables, rng)
@@ -223,21 +253,39 @@ class Trainer:
         auc = post_processing_from_config(out, trans, meta, frames, self.cfg)
         return {'AUC': float(auc)}
 
-    def restore_state(self, path: str, template: TrainState
+    def restore_state(self, path: str, template: TrainState,
+                      steps_per_epoch: Optional[int] = None
                       ) -> tuple[TrainState, int]:
         """Restore a full TrainState (params/EMA/opt_state/step) written by
         a previous run; returns (state, next_epoch).  The reference has no
         resume path (Lightning's ckpt_path is eval-only there,
-        eval_MoCoDAD.py:32); this closes that gap for long trainings."""
+        eval_MoCoDAD.py:32); this closes that gap for long trainings.
+
+        Multi-host note: every process reads `path`, so resume on a pod
+        requires the checkpoint on a shared filesystem (or pre-staged to
+        every host) — process 0 is the only writer during training.
+        """
         import json
 
         from mocodad_tpu.parallel import replicated_sharding
         from mocodad_tpu.training.checkpoint import load_checkpoint
         state = load_checkpoint(path, jax.device_get(template))
-        epoch = -1
+        epoch = None
         if os.path.exists(path + '.json'):
             with open(path + '.json') as f:
                 epoch = int(json.load(f).get('epoch', -1))
+        if epoch is None:
+            # Sidecar meta lost: derive the epoch from the restored step
+            # count instead of silently re-running every epoch on top of
+            # the restored weights.
+            if not steps_per_epoch:
+                raise ValueError(
+                    f'{path}.json is missing and steps_per_epoch unknown; '
+                    'cannot determine the resume epoch')
+            epoch = int(state.step) // steps_per_epoch - 1
+            print(f'WARNING: {path}.json missing; resuming at epoch '
+                  f'{epoch + 1} derived from step {int(state.step)}',
+                  file=sys.stderr)
         state = jax.device_put(state, replicated_sharding(self.mesh))
         return state, epoch + 1
 
@@ -253,14 +301,17 @@ class Trainer:
         if resume:
             if resume is True or resume == 'auto':
                 resume = os.path.join(cfg.ckpt_dir, 'last.ckpt')
-            state, start_epoch = self.restore_state(resume, state)
+            state, start_epoch = self.restore_state(resume, state,
+                                                    steps_per_epoch)
             print(f'resumed from {resume} at epoch {start_epoch} '
                   f'(step {int(state.step)})', flush=True)
         self._train_step = self._build_train_step()
 
         monitor, mode = monitored_metric_for(cfg)
         ckpt = TopKCheckpointManager(cfg.ckpt_dir, monitor, mode, k=2)
-        if start_epoch:
+        if resume:
+            # always reload top-k bookkeeping on resume (even when the
+            # derived start epoch is 0) so retention stays consistent
             ckpt.restore_index()
 
         # multi-host: every process computes identically (replicated state,

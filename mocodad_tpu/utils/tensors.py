@@ -31,6 +31,38 @@ def save_tensors(tensors: Dict[str, np.ndarray], ckpt_dir: str, split: str,
     return path
 
 
+def pack_prediction_tensors(res: Dict[str, np.ndarray],
+                            model_return_value: str,
+                            gt_data: np.ndarray) -> Dict[str, np.ndarray]:
+    """Assemble the saved-tensor dict for a `Trainer.run_inference` result
+    according to `model_return_value` (ref `_pack_out_data`,
+    models/mocodad.py:606-636):
+
+    - 'loss': prediction = per-window losses (the reference contract);
+    - 'pose': prediction = selected poses, plus a separate 'loss' tensor so
+      replay scoring keeps working (the reference would score the pose
+      tensor and produce garbage AUC);
+    - 'all': prediction = losses, plus a separate 'pose' tensor (the
+      reference's 6-field pack breaks its own 5-field unpack,
+      utils/model_utils.py:110-137 — documented fix).
+    """
+    out = {'prediction': res['loss'], 'gt_data': gt_data,
+           'trans': res['trans'], 'metadata': res['meta'],
+           'frames': res['frames']}
+    if model_return_value == 'pose':
+        if res.get('pose') is None:
+            raise ValueError("model_return_value 'pose' requires selected "
+                             'poses from run_inference')
+        out['prediction'] = res['pose']
+        out['loss'] = res['loss']
+    elif model_return_value == 'all':
+        if res.get('pose') is None:
+            raise ValueError("model_return_value 'all' requires selected "
+                             'poses from run_inference')
+        out['pose'] = res['pose']
+    return out
+
+
 def load_tensors(ckpt_dir: str, split: str, aggr_strategy: str,
                  n_gen: int) -> Dict[str, np.ndarray]:
     path = tensors_dir(ckpt_dir, split, aggr_strategy, n_gen)

@@ -215,7 +215,14 @@ def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
     out: Dict[str, Dict] = {'params': {}, 'batch_stats': {}}
     unmapped = []
     for key, val in state_dict.items():
-        key = re.sub(r'^(model_ema\.module|module)\.', '', key)
+        # EMA shadow copies (timm ModelEmaV2 under the reference's
+        # EMACallback, utils/ema.py:18-91) are deliberately skipped: a
+        # dict holding both raw and 'model_ema.module.*' weights must map
+        # the RAW ones, deterministically — the reference stores EMA state
+        # under a separate 'state_dict_ema' payload anyway.
+        if key.startswith('model_ema.'):
+            continue
+        key = re.sub(r'^module\.', '', key)
         entry = map_torch_key(key, _as_np(val))
         if entry is None:
             if not key.endswith('num_batches_tracked'):
@@ -337,6 +344,7 @@ def load_torch_checkpoint(path: str, template_variables: Dict,
         raise ValueError(f'unmapped torch keys: {conv["_unmapped"][:10]}')
     import flax.serialization as ser
 
+    missing = []
     merged = {}
     for col in template_variables:
         tgt = ser.to_state_dict(template_variables[col])
@@ -349,6 +357,7 @@ def load_torch_checkpoint(path: str, template_variables: Dict,
             if s is None:
                 if strict:
                     raise ValueError(f'missing torch weight for {path}')
+                missing.append(path)
                 return t
             if np.shape(s) != np.shape(t):
                 raise ValueError(
@@ -357,5 +366,13 @@ def load_torch_checkpoint(path: str, template_variables: Dict,
             return np.asarray(s, dtype=np.asarray(t).dtype)
 
         merged[col] = ser.from_state_dict(template_variables[col],
-                                          merge(tgt, src))
+                                          merge(tgt, src, f'/{col}'))
+    if not strict and (conv['_unmapped'] or missing):
+        # Naming drift in a published checkpoint would otherwise produce a
+        # plausible-looking model with silently random weights.
+        import sys
+        print(f'WARNING: torch checkpoint {path!r} loaded non-strictly: '
+              f'{len(conv["_unmapped"])} unmapped torch keys '
+              f'{conv["_unmapped"][:5]}, {len(missing)} flax leaves kept '
+              f'at template init {missing[:5]}', file=sys.stderr)
     return merged

@@ -6,7 +6,6 @@ saved_tensors_{split}_{aggregation}_{n_generated_samples}/)."""
 import argparse
 import os
 
-import numpy as np
 
 
 def main():
@@ -20,11 +19,15 @@ def main():
     cfg.save_tensors = True
     cfg.load_tensors = False
 
+    from mocodad_tpu.parallel import maybe_initialize
+    maybe_initialize()
+
     import jax
-    from mocodad_tpu.data import affine_transform_matrices, build_dataset
+    from mocodad_tpu.data import build_dataset, transformed_gt_data
     from mocodad_tpu.training.checkpoint import restore_variables
     from mocodad_tpu.training.loop import Trainer
-    from mocodad_tpu.utils.tensors import save_tensors
+    from mocodad_tpu.utils.tensors import (pack_prediction_tensors,
+                                           save_tensors)
 
     print('Loading data and creating loaders.....')
     ds = build_dataset(cfg, split=cfg.split)
@@ -33,24 +36,12 @@ def main():
     ckpt_path = os.path.join(cfg.ckpt_dir, cfg.load_ckpt)
     variables = restore_variables(ckpt_path, template, use_ema=cfg.use_ema)
 
-    out, trans, meta, frames = trainer.evaluate(
-        ds, variables, jax.random.key(cfg.seed))
-
-    mats = affine_transform_matrices(max(cfg.num_transform, 1))
-    blocks = []
-    for k in range(max(ds.num_transform, 1)):
-        m = mats[k]
-        xy = np.einsum('dk,bktv->bdtv', m[:2, :2], ds.data[:, :2])
-        xy += m[:2, 2][None, :, None, None]
-        blocks.append(np.concatenate([xy, ds.data[:, 2:]], axis=1)
-                      if ds.data.shape[1] > 2 else xy)
-    gt_data = np.concatenate(blocks, axis=0)
-
-    path = save_tensors(
-        {'prediction': out, 'gt_data': gt_data, 'trans': trans,
-         'metadata': meta, 'frames': frames},
-        cfg.ckpt_dir, cfg.split, cfg.aggregation_strategy,
-        cfg.n_generated_samples)
+    res = trainer.run_inference(ds, variables, jax.random.key(cfg.seed))
+    tensors = pack_prediction_tensors(
+        res, trainer.model.model_return_value,
+        gt_data=transformed_gt_data(ds.data, ds.num_transform))
+    path = save_tensors(tensors, cfg.ckpt_dir, cfg.split,
+                        cfg.aggregation_strategy, cfg.n_generated_samples)
     print(f'saved tensors to {path}')
 
 

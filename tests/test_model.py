@@ -107,12 +107,23 @@ def test_training_reduces_loss():
     assert float(loss) < first
 
 
-def test_pack_output_variants():
-    model = MoCoDADModel(_cfg(model_return_value='loss'))
-    x, l = jnp.ones((2, 2, 3, 17)), jnp.ones((2,))
-    assert model.pack_output(x, l) == [l]
-    assert model.pack_output(x, l, return_='pose') == [x]
-    assert model.pack_output(x, l, return_='all') == [l, x]
+def test_pack_prediction_tensors_variants():
+    """model_return_value packing (ref _pack_out_data,
+    models/mocodad.py:606-636); the e2e path is test_return_value.py."""
+    from mocodad_tpu.utils.tensors import pack_prediction_tensors
+    import numpy as np
+    res = {'loss': np.ones((2,)), 'pose': np.ones((2, 2, 3, 17)),
+           'trans': np.zeros((2,)), 'meta': np.zeros((2, 4)),
+           'frames': np.zeros((2, 6))}
+    gt = np.zeros((2, 2, 6, 17))
+    assert pack_prediction_tensors(res, 'loss', gt)['prediction'].shape == (2,)
+    p = pack_prediction_tensors(res, 'pose', gt)
+    assert p['prediction'].ndim == 4 and p['loss'].shape == (2,)
+    a = pack_prediction_tensors(res, 'all', gt)
+    assert a['prediction'].shape == (2,) and a['pose'].ndim == 4
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_prediction_tensors({**res, 'pose': None}, 'pose', gt)
 
 
 def test_model_dispatch_on_latent_key():

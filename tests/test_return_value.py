@@ -1,0 +1,108 @@
+"""model_return_value 'pose'/'all' through the inference/export/replay path
+(ref `_pack_out_data`, models/mocodad.py:606-636; predict_MoCoDAD.py:31-36).
+
+The reference saves pose predictions into the tensor cache when configured;
+its 'all' pack breaks its own 5-field unpack (utils/model_utils.py:110-137)
+and a replayed 'pose' cache would be scored as if it held losses.  The
+framework packs poses correctly and keeps the loss route alongside so
+replay scoring stays valid — asserted here end-to-end.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mocodad_tpu.config import Config
+from mocodad_tpu.data import build_dataset, synthetic
+from mocodad_tpu.eval.harness import post_processing_from_config
+from mocodad_tpu.parallel import make_mesh
+from mocodad_tpu.training.loop import Trainer
+from mocodad_tpu.utils.tensors import (load_tensors, pack_prediction_tensors,
+                                       save_tensors)
+
+
+@pytest.fixture(scope='module')
+def synth(tmp_path_factory):
+    d = tmp_path_factory.mktemp('rv')
+    synthetic.generate(str(d), seed=5, n_clips_per_split=1, n_actors=2,
+                       n_frames=40)
+    return str(d)
+
+
+def _cfg(synth, tmp_path, **kw):
+    base = dict(
+        split='test', data_dir=synth, exp_dir=str(tmp_path),
+        ckpt_dir=str(tmp_path), dataset_choice='UBnormal', seg_len=6,
+        conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
+        conditioning_architecture='AE', channels=[32, 16, 32],
+        embedding_dim=16, h_dim=32, latent_dim=16, dropout=0.0,
+        noise_steps=10, batch_size=64, num_coords=2, num_transform=1,
+        seg_stride=1, n_generated_samples=2, aggregation_strategy='best',
+        model_return_value='loss', vid_res=[640, 360],
+        normalization_strategy='robust', use_hr=False, validation=False,
+        seed=7, filter_kernel_size=4, frames_shift=3, pad_size=-1,
+        test_path=os.path.join(synth, 'testing', 'test_frame_mask'),
+        gt_path=os.path.join(synth, 'testing', 'test_frame_mask'))
+    base.update(kw)
+    return Config(**base)
+
+
+def test_pose_and_all_return_values_roundtrip(synth, tmp_path):
+    cfg = _cfg(synth, tmp_path, model_return_value='pose')
+    build_dataset(cfg, 'train')  # fits + saves the robust scaler
+    ds = build_dataset(cfg, 'test')
+    trainer = Trainer(cfg, mesh=make_mesh(8))
+    variables = trainer.model.init_variables(jax.random.key(1))
+
+    res = trainer.run_inference(ds, variables, jax.random.key(2))
+    n = len(ds)
+    m = trainer.model
+    assert res['loss'].shape == (n,)
+    assert res['pose'].shape == (n, m.num_coords, m.n_frames_corrupt,
+                                 m.n_joints)
+
+    from mocodad_tpu.data import transformed_gt_data
+    gt = transformed_gt_data(ds.data, ds.num_transform)
+    assert gt.shape[0] == n
+
+    # -- 'pose': prediction is pose-shaped; 'loss' rides along ----------
+    tensors = pack_prediction_tensors(res, 'pose', gt_data=gt)
+    assert tensors['prediction'].shape == res['pose'].shape
+    assert np.array_equal(tensors['loss'], res['loss'])
+    save_tensors(tensors, cfg.ckpt_dir, cfg.split,
+                 cfg.aggregation_strategy, cfg.n_generated_samples)
+    t = load_tensors(cfg.ckpt_dir, cfg.split, cfg.aggregation_strategy,
+                     cfg.n_generated_samples)
+    assert t['prediction'].ndim == 4
+
+    # replay scoring (the eval CLI's load_tensors branch) must reproduce
+    # the direct loss-route AUC exactly
+    direct = post_processing_from_config(res['loss'], res['trans'],
+                                         res['meta'], res['frames'], cfg)
+    replay = post_processing_from_config(
+        t.get('loss', t['prediction']), t['trans'], t['metadata'],
+        t['frames'], cfg)
+    assert replay == pytest.approx(direct, abs=1e-12)
+
+    # -- 'all': prediction stays the loss vector; pose is separate -------
+    tensors_all = pack_prediction_tensors(res, 'all', gt_data=gt)
+    assert np.array_equal(tensors_all['prediction'], res['loss'])
+    assert np.array_equal(tensors_all['pose'], res['pose'])
+
+    # -- 'loss': the reference 5-tensor contract, no extras --------------
+    tensors_loss = pack_prediction_tensors(res, 'loss', gt_data=gt)
+    assert set(tensors_loss) == {'prediction', 'gt_data', 'trans',
+                                 'metadata', 'frames'}
+
+
+def test_pose_with_loss_only_aggregation_rejected(synth, tmp_path):
+    cfg = _cfg(synth, tmp_path, model_return_value='pose',
+               aggregation_strategy='mean')
+    build_dataset(cfg, 'train')
+    ds = build_dataset(cfg, 'test')
+    trainer = Trainer(cfg, mesh=make_mesh(8))
+    variables = trainer.model.init_variables(jax.random.key(1))
+    with pytest.raises(ValueError, match='loss-only'):
+        trainer.run_inference(ds, variables, jax.random.key(2))
