@@ -186,7 +186,9 @@ def main():
     out = {
         'metric': 'eval_windows_per_sec_per_chip',
         'value': round(wps, 1),
-        'unit': f'windows/s (50 samples x 9 DDPM steps each; {label})',
+        'unit': f'windows/s (50 samples x 9 DDPM steps each; {label}; '
+                'bf16 gated by the 3-seed AUC study in PERF_NOTES.md: '
+                'delta <= sampling noise)',
         'vs_baseline': round(wps / BASELINE_WINDOWS_PER_SEC, 2),
         'mfu': round(mfu, 4),
         'mxu_granularity_ceiling_windows_per_sec':

@@ -33,7 +33,8 @@ _SKELETON = np.array([
 
 
 def _actor_track(rng, n_frames: int, vid_res, anomalous: bool,
-                 anomaly_span: Tuple[int, int]) -> np.ndarray:
+                 anomaly_span: Tuple[int, int],
+                 anomaly_strength: float = 0.35) -> np.ndarray:
     w, h = vid_res
     scale = rng.uniform(60, 140)
     x0 = rng.uniform(0.2 * w, 0.8 * w)
@@ -53,7 +54,7 @@ def _actor_track(rng, n_frames: int, vid_res, anomalous: bool,
 
     if anomalous:
         a, b = anomaly_span
-        jitter = rng.normal(0, 0.35 * scale, (b - a, 17, 2))
+        jitter = rng.normal(0, anomaly_strength * scale, (b - a, 17, 2))
         joints[a:b] += jitter
     joints[..., 0] = np.clip(joints[..., 0], 1, w - 1)
     joints[..., 1] = np.clip(joints[..., 1], 1, h - 1)
@@ -62,7 +63,13 @@ def _actor_track(rng, n_frames: int, vid_res, anomalous: bool,
 
 def generate(out_dir: str, seed: int = 0, n_scenes: int = 1,
              n_clips_per_split: int = 3, n_actors: int = 3,
-             n_frames: int = 120, vid_res=(640, 360)) -> None:
+             n_frames: int = 120, vid_res=(640, 360),
+             anomaly_strength: float = 0.35) -> None:
+    """anomaly_strength scales the anomalous jitter relative to actor
+    size: the default 0.35 is grossly separable (smoke tests); ~0.02 is
+    comparable to the normal gait amplitude and yields mid-range AUCs
+    (useful for sensitivity studies where a saturated AUC hides
+    effects)."""
     rng = np.random.default_rng(seed)
     for split, has_gt, has_anom in [('training', False, False),
                                     ('validating', True, True),
@@ -81,7 +88,8 @@ def generate(out_dir: str, seed: int = 0, n_scenes: int = 1,
                     span_lo = length // 3
                     span_hi = min(length, span_lo + max(10, length // 3))
                     track = _actor_track(rng, length, vid_res, anomalous,
-                                         (span_lo, span_hi))
+                                         (span_lo, span_hi),
+                                         anomaly_strength)
                     if anomalous:
                         gt[frames[span_lo:span_hi]] = 1
                     rows = np.concatenate(
