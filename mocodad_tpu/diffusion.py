@@ -76,18 +76,22 @@ def sample_timesteps(rng: jax.Array, n: int, noise_steps: int) -> jnp.ndarray:
 
 
 def forward_noise(schedule: DiffusionSchedule, rng: jax.Array,
-                  x: jnp.ndarray, t: jnp.ndarray
+                  x: jnp.ndarray, t: jnp.ndarray,
+                  eps: jnp.ndarray = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """q(x_t | x_0): x_t = sqrt(a-bar_t) x + sqrt(1 - a-bar_t) eps.
 
     Works for any rank of `x`; `t` has shape (B,) aligned with axis 0
     (generalizes noise_graph/noise_latent, utils/diffusion_utils.py:56-71).
+    `eps` overrides the gaussian draw (oracle tests inject the reference's
+    noise); normal callers leave it None.
     """
     a_hat = schedule.alpha_hat[t]
     bshape = (x.shape[0],) + (1,) * (x.ndim - 1)
     sqrt_a = jnp.sqrt(a_hat).reshape(bshape)
     sqrt_1ma = jnp.sqrt(1.0 - a_hat).reshape(bshape)
-    eps = jax.random.normal(rng, x.shape, dtype=x.dtype)
+    if eps is None:
+        eps = jax.random.normal(rng, x.shape, dtype=x.dtype)
     return sqrt_a * x + sqrt_1ma * eps, eps
 
 

@@ -192,12 +192,17 @@ class MoCoDADModel:
 
     def loss(self, variables: Dict[str, Any], data: jnp.ndarray,
              rng: jax.Array, *, train: bool = True,
-             sample_mask: Optional[jnp.ndarray] = None
+             sample_mask: Optional[jnp.ndarray] = None,
+             noise_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]]
+             = None
              ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
         """Diffusion noise-prediction loss (+ AE reconstruction term)
         (ref `training_step`, models/mocodad.py:187-227).
 
-        Returns (loss, metrics, mutated-collections).
+        Returns (loss, metrics, mutated-collections).  `noise_override`,
+        when given, is `(t, eps)` replacing the sampled timesteps and
+        forward noise so the loss can be compared against an external
+        oracle; normal callers never pass it.
         """
         r_order, r_t, r_noise, r_drop = jax.random.split(rng, 4)
         b = data.shape[0]
@@ -206,8 +211,15 @@ class MoCoDADModel:
                                                   self.n_frames_condition)
         inject_cond = cond_data if self.strategy == 'inject' else None
 
-        t = sample_timesteps(r_t, b, self.schedule.noise_steps)
-        x_t, noise = forward_noise(self.schedule, r_noise, corrupt_data, t)
+        if noise_override is not None:
+            t, eps = noise_override
+            t = jnp.asarray(t, jnp.int32)
+            eps = jnp.asarray(eps, corrupt_data.dtype)
+        else:
+            t = sample_timesteps(r_t, b, self.schedule.noise_steps)
+            eps = None
+        x_t, noise = forward_noise(self.schedule, r_noise, corrupt_data, t,
+                                   eps=eps)
         x_in = F.assemble_input(self.strategy, cond_data, x_t, order,
                                 self.n_frames_condition)
 

@@ -243,6 +243,75 @@ def test_aggregation_matches_real_module(strategy):
                                    atol=1e-5)
 
 
+def test_diffusion_schedule_matches_real_module():
+    """Cosine beta/alpha/alpha-hat tables vs the real Diffusion class
+    (utils/diffusion_utils.py:18-52)."""
+    from utils.diffusion_utils import Diffusion
+    from mocodad_tpu.diffusion import make_schedule
+    for steps in (10, 100):
+        ref = Diffusion(noise_steps=steps, device='cpu')
+        sch = make_schedule(steps)
+        np.testing.assert_allclose(np.asarray(sch.beta),
+                                   ref.beta.numpy(), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(sch.alpha),
+                                   ref.alpha.numpy(), atol=1e-7)
+        # cumprod accumulates in f32 in the reference vs f64 here
+        np.testing.assert_allclose(np.asarray(sch.alpha_hat),
+                                   ref.alpha_hat.numpy(), rtol=3e-5,
+                                   atol=1e-7)
+
+
+@pytest.mark.parametrize('strategy,cond_idx,arch', [
+    ('inject', [0, 1, 2], 'AE'),
+    ('concat', [0, 1, 2], 'AE'),
+])
+def test_training_loss_matches_real_module(monkeypatch, strategy, cond_idx,
+                                           arch):
+    """The full training loss — frame split, condition encoding, forward
+    noising, U-Net prediction, smooth-l1 + rec_weight*mse — vs the real
+    `training_step` (models/mocodad.py:187-227) with identical (t, eps).
+    Both sides run with frozen BN stats (eval-mode normalization) so the
+    comparison isolates the loss math."""
+    model = MoCoDADModel(_cfg(conditioning_strategy=strategy,
+                              conditioning_indices=cond_idx,
+                              conditioning_architecture=arch,
+                              rec_weight=0.1, dropout=0.0))
+    variables = jax.device_get(model.init_variables(jax.random.key(71)))
+    sd = export_torch_state_dict(variables)
+    m = _ref_mocodad(conditioning_strategy=strategy,
+                     conditioning_indices=cond_idx,
+                     conditioning_architecture=arch)
+    m.load_state_dict({k: torch.from_numpy(np.array(v, copy=True))
+                       for k, v in sd.items()}, strict=True)
+    m.eval()
+
+    rs = np.random.RandomState(72)
+    b = 5
+    tc = model.n_frames_corrupt
+    data = rs.randn(b, 2, 6, 17).astype(np.float32)
+    t = rs.randint(1, 10, (b,))
+    eps = rs.randn(b, 2, tc, 17).astype(np.float32)
+
+    monkeypatch.setattr(torch, 'randint',
+                        lambda *a, **k: torch.from_numpy(t))
+    monkeypatch.setattr(torch, 'randn_like', _QueueRandnLike([eps]))
+    # noise_graph calls t.get_device(), which returns -1 on CPU tensors
+    # (the reference only ever ran on CUDA); map it to the device object
+    monkeypatch.setattr(torch.Tensor, 'get_device',
+                        lambda self: self.device)
+    batch = [torch.from_numpy(data), torch.zeros(b, dtype=torch.long),
+             torch.zeros(b, 4, dtype=torch.long),
+             torch.zeros(b, 6, dtype=torch.long)]
+    with torch.no_grad():
+        want = float(m.training_step(batch, 0))
+
+    loss, metrics, _ = model.loss(variables, jnp.asarray(data),
+                                  jax.random.key(73), train=False,
+                                  noise_override=(t, eps))
+    assert float(loss) == pytest.approx(want, abs=2e-5)
+    assert metrics['loss_noise'] <= loss
+
+
 def test_post_processing_matches_real_module(tmp_path):
     """The full scoring chain — per-actor var matrix, nanmax, pad_scores,
     actor aggregation with the log1p amplitude term, shift+gaussian
