@@ -69,6 +69,14 @@ assert out.shape == (cfg.batch_size,), out.shape
 import numpy as _np
 assert _np.all(_np.isfinite(out))
 print(f'DIST_EVAL {float(out.mean()):.8f}', flush=True)
+
+# pose route: selected poses are likewise gathered onto every host
+res = trainer.run_inference(
+    ds, {'params': state.params, 'batch_stats': state.batch_stats}, rng,
+    with_pose=True)
+assert res['pose'].shape == (cfg.batch_size, 2, 3, 17), res['pose'].shape
+assert _np.all(_np.isfinite(res['pose']))
+print(f'DIST_POSE {float(_np.abs(res["pose"]).mean()):.8f}', flush=True)
 '''
 
 
@@ -101,14 +109,17 @@ def test_two_process_cpu_mesh(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f'worker failed:\n{out}'
 
-    losses, evals = [], []
+    losses, evals, poses = [], [], []
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith('DIST_LOSS')]
         elines = [l for l in out.splitlines() if l.startswith('DIST_EVAL')]
-        assert lines and elines, out
+        plines = [l for l in out.splitlines() if l.startswith('DIST_POSE')]
+        assert lines and elines and plines, out
         losses.append(float(lines[0].split()[1]))
         evals.append(float(elines[0].split()[1]))
+        poses.append(float(plines[0].split()[1]))
     # the data-parallel psum makes the loss identical on both hosts, and
-    # the eval allgather gives every host the same full score vector
+    # the eval/pose allgathers give every host the same full vectors
     assert abs(losses[0] - losses[1]) < 1e-7, losses
     assert abs(evals[0] - evals[1]) < 1e-7, evals
+    assert abs(poses[0] - poses[1]) < 1e-7, poses
