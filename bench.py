@@ -99,10 +99,15 @@ def measure_baseline(cfg, variables, data):
         return best
 
     one_batch(jax.random.key(0)).block_until_ready()  # compile warmup
-    t0 = time.perf_counter()
-    one_batch(jax.random.key(1)).block_until_ready()
-    dt = time.perf_counter() - t0
-    return b / dt
+    # dispatch-bound timing is tunnel-RTT sensitive; take the best of two
+    # measured batches (generous to the baseline)
+    best = None
+    for k in (1, 2):
+        t0 = time.perf_counter()
+        one_batch(jax.random.key(k)).block_until_ready()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return b / best
 
 
 def main():
@@ -147,7 +152,9 @@ def main():
             print(f'pallas path unavailable ({str(e)[:120]}); '
                   'falling back to the XLA fast path', file=sys.stderr)
     if gen is None:
-        fn = jax.jit(lambda v, d, r: model.generate(v, d, r))
+        from mocodad_tpu.ops.xla_tuning import tuned_compiler_options
+        fn = jax.jit(lambda v, d, r: model.generate(v, d, r),
+                     compiler_options=tuned_compiler_options())
         gen = lambda d, r: fn(variables, d, r)
 
     for i in range(WARMUP):
