@@ -86,7 +86,7 @@ def build_dataset(cfg: Config, split: str = 'train') -> PoseWindows:
 
 def make_loader(ds: PoseWindows, batch_size: int, shuffle: bool = False,
                 seed: int = 0, pad_to_full: bool = True,
-                double_item: bool = False
+                double_item: bool = False, yield_indices: bool = False
                 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield host batches over the virtual (sample x transform) index space.
 
@@ -94,6 +94,14 @@ def make_loader(ds: PoseWindows, batch_size: int, shuffle: bool = False,
     transform index; the train/eval steps apply the affine on device.
     The final partial batch is padded to batch_size (static shapes under
     jit) with `mask` marking the valid rows.
+
+    yield_indices: emit only {'idx', 'trans', 'mask'} (no data/meta/frames
+    gathers) for device-resident-pool training, where the window pool
+    lives in HBM and the train step gathers `pool[idx]` on device —
+    per-step host->device traffic drops from the full (B,C,T,V) batch to
+    three (B,) vectors.  Incompatible with the per-item host-side random
+    augmentations (old_aug / double_item), which fall back to full
+    batches.
     """
     n_virtual = len(ds)
     rng = np.random.default_rng(seed)
@@ -111,6 +119,10 @@ def make_loader(ds: PoseWindows, batch_size: int, shuffle: bool = False,
         trans_idx = (idx // n).astype(np.int32)
         mask = np.zeros(idx.shape[0], dtype=np.float32)
         mask[:valid] = 1.0
+        if yield_indices and not ds.old_aug and not double_item:
+            yield {'idx': sample_idx.astype(np.int32), 'trans': trans_idx,
+                   'mask': mask}
+            continue
         data = ds.data[sample_idx]
         if ds.old_aug:
             from mocodad_tpu.data.transforms import temporal_crop

@@ -28,7 +28,7 @@ from mocodad_tpu.data.pipeline import PoseWindows
 from mocodad_tpu.eval.harness import post_processing_from_config
 from mocodad_tpu.models import build_model
 from mocodad_tpu.models.losses import elementwise_loss
-from mocodad_tpu.parallel import make_mesh, shard_batch
+from mocodad_tpu.parallel import make_mesh, replicated_sharding, shard_batch
 from mocodad_tpu.training.checkpoint import (TopKCheckpointManager,
                                              load_state_dict, merge_matching)
 from mocodad_tpu.training.ema import ema_init, ema_update
@@ -128,19 +128,50 @@ class Trainer:
 
     # ---- jitted steps ----------------------------------------------------
 
-    def _build_train_step(self):
+    def _use_device_pool(self, ds: PoseWindows) -> bool:
+        """Keep the training window pool in HBM when it fits.
+
+        Controlled by the `device_data` extras key: 'auto' (default, on
+        when the pool is under `device_data_cap_gb`, default 4 GB),
+        true/false to force.  Falls back to host batches for the
+        per-item host-side random-crop path (old_aug)."""
+        mode = self.cfg.extras.get('device_data', 'auto')
+        if mode in (False, 'false', 'off', 0):
+            return False
+        if ds.old_aug:
+            return False
+        if mode in (True, 'true', 'on', 1):
+            return True
+        cap_gb = float(self.cfg.extras.get('device_data_cap_gb', 4.0))
+        return ds.data.nbytes <= cap_gb * 1e9
+
+    def _build_train_step(self, pool_mode: bool = False):
+        """Jitted train step.
+
+        pool_mode: the window pool lives in HBM (replicated over the
+        mesh); the step receives it plus per-batch (idx, trans, mask)
+        vectors and gathers `pool[idx]` on device.  Cuts per-step
+        host->device traffic from the full batch to three (B,) vectors —
+        measured 23k -> 135k windows/s through the remote-TPU tunnel
+        (tools/perf/probe_train_pipeline.py).
+
+        In both modes the per-step RNG is derived INSIDE the jit
+        (fold_in(rng, state.step)) so the loop issues no eager device ops
+        between steps; keys are identical to the previous host-side fold.
+        """
         model, opt = self.model, self._opt
         mats = self.trans_mats
         mask_tree = self._update_mask
         use_ema = self.use_ema
 
-        def train_step(state: TrainState, batch, rng):
-            data = apply_affine_batch(batch['data'], mats, batch['trans'])
+        def _step(state: TrainState, data, trans, sample_mask, rng_base):
+            rng = jax.random.fold_in(rng_base, state.step)
+            data = apply_affine_batch(data, mats, trans)
 
             def loss_fn(params):
                 loss, metrics, mutated = model.loss(
                     {'params': params, 'batch_stats': state.batch_stats},
-                    data, rng, train=True, sample_mask=batch['mask'])
+                    data, rng, train=True, sample_mask=sample_mask)
                 return loss, (metrics, mutated)
 
             grads, (metrics, mutated) = jax.grad(loss_fn, has_aux=True)(
@@ -161,6 +192,15 @@ class Trainer:
                 opt_state=opt_state, ema_params=ema_params,
                 step=state.step + 1)
             return new_state, metrics
+
+        if pool_mode:
+            def train_step(state: TrainState, pool, batch, rng):
+                data = pool[batch['idx']]
+                return _step(state, data, batch['trans'], batch['mask'], rng)
+        else:
+            def train_step(state: TrainState, batch, rng):
+                return _step(state, batch['data'], batch['trans'],
+                             batch['mask'], rng)
 
         return jax.jit(train_step, donate_argnums=(0,))
 
@@ -308,7 +348,15 @@ class Trainer:
                                                     steps_per_epoch)
             print(f'resumed from {resume} at epoch {start_epoch} '
                   f'(step {int(state.step)})', flush=True)
-        self._train_step = self._build_train_step()
+        use_pool = self._use_device_pool(train_ds)
+        self._train_step = self._build_train_step(pool_mode=use_pool)
+        pool_arr = None
+        if use_pool:
+            pool_arr = jax.device_put(train_ds.data,
+                                      replicated_sharding(self.mesh))
+            print(f'window pool device-resident '
+                  f'({train_ds.data.nbytes / 1e6:.0f} MB, '
+                  f'index-only batches)', flush=True)
 
         monitor, mode = monitored_metric_for(cfg)
         ckpt = TopKCheckpointManager(cfg.ckpt_dir, monitor, mode, k=2)
@@ -333,11 +381,14 @@ class Trainer:
             t0 = time.time()
             loader = prefetch(
                 make_loader(train_ds, cfg.batch_size, shuffle=True,
-                            seed=cfg.seed + epoch),
+                            seed=cfg.seed + epoch, yield_indices=use_pool),
                 place=lambda b: shard_batch(b, self.mesh))
             for sb in loader:
-                state, metrics = self._train_step(
-                    state, sb, jax.random.fold_in(rng, state.step))
+                if use_pool:
+                    state, metrics = self._train_step(state, pool_arr, sb,
+                                                      rng)
+                else:
+                    state, metrics = self._train_step(state, sb, rng)
                 step += 1
                 for k, v in metrics.items():
                     epoch_metrics.setdefault(k, []).append(v)

@@ -155,3 +155,42 @@ def test_restore_variables_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(restored['params'])
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_device_pool_matches_host_batches(tmp_path):
+    """Pool-mode training (device-resident windows, index-only batches)
+    must follow the exact same trajectory as host-batch training: same
+    shuffles, same fold_in(step) keys, identical gathered data."""
+    from mocodad_tpu.data.pipeline import PoseWindows
+    rng = np.random.default_rng(2)
+    ds = PoseWindows(
+        data=rng.normal(size=(128, 2, 6, 17)).astype(np.float32) * 0.1,
+        meta=np.zeros((128, 4), np.int64),
+        frames=np.tile(np.arange(1, 7, dtype=np.int32), (128, 1)),
+        num_transform=2)
+
+    cfg_h = _tiny_cfg(tmp_path / 'host', num_transform=2)
+    cfg_h.extras['device_data'] = False
+    host = Trainer(cfg_h, mesh=make_mesh(2)).fit(ds, n_epochs=2)
+
+    cfg_p = _tiny_cfg(tmp_path / 'pool', num_transform=2)
+    cfg_p.extras['device_data'] = True
+    pool = Trainer(cfg_p, mesh=make_mesh(2)).fit(ds, n_epochs=2)
+
+    assert int(host.step) == int(pool.step)
+    for x, y in zip(jax.tree_util.tree_leaves(host.params),
+                    jax.tree_util.tree_leaves(pool.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_old_aug_forces_host_batches(tmp_path):
+    from mocodad_tpu.data.pipeline import PoseWindows
+    cfg = _tiny_cfg(tmp_path)
+    ds = PoseWindows(data=np.zeros((8, 2, 6, 17), np.float32),
+                     meta=np.zeros((8, 4), np.int64),
+                     frames=np.tile(np.arange(1, 7, dtype=np.int32), (8, 1)),
+                     num_transform=0, old_aug=True)
+    assert not Trainer(cfg, mesh=make_mesh(1))._use_device_pool(ds)
+    cfg.extras['device_data'] = False
+    assert not Trainer(cfg, mesh=make_mesh(1))._use_device_pool(ds)
