@@ -110,6 +110,38 @@ def measure_baseline(cfg, variables, data):
     return b / best
 
 
+def measure_training(cfg, model):
+    """Steady-state training throughput with the device-resident window
+    pool (index-only batches; training/loop.py pool mode)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mocodad_tpu.training.loop import Trainer
+
+    trainer = Trainer(cfg, model)
+    state = trainer.init_state(steps_per_epoch=10, rng=jax.random.key(0))
+    step = trainer._build_train_step(pool_mode=True)
+    rs = np.random.RandomState(0)
+    pool = jax.device_put(rs.randn(36864, 2, 6, 17).astype(np.float32))
+    n = pool.shape[0]
+    rng = jax.random.key(0)
+
+    def batch(i):
+        idx = rs.randint(0, n * cfg.num_transform, BATCH)
+        return {'idx': jnp.asarray(idx % n, jnp.int32),
+                'trans': jnp.asarray(idx // n, jnp.int32),
+                'mask': jnp.ones((BATCH,), jnp.float32)}
+
+    state, _ = step(state, pool, batch(0), rng)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    iters = 15
+    for i in range(iters):
+        state, _ = step(state, pool, batch(i), rng)
+    jax.block_until_ready(state.params)
+    return BATCH * iters / (time.perf_counter() - t0)
+
+
 def main():
     import sys
     import jax
@@ -180,6 +212,16 @@ def main():
             print(f'baseline measurement failed ({str(e)[:120]})',
                   file=sys.stderr)
 
+    # Training throughput (device-resident pool). Cached compile after
+    # the first-ever run; disable with MOCODAD_BENCH_TRAIN=0.
+    train_wps = None
+    if os.environ.get('MOCODAD_BENCH_TRAIN', '1') != '0':
+        try:
+            train_wps = measure_training(cfg, model)
+        except Exception as e:
+            print(f'training measurement failed ({str(e)[:120]})',
+                  file=sys.stderr)
+
     # MFU / roofline context: useful FLOPs of the sampling chain vs chip
     # peak, plus the MXU-granularity ceiling this topology allows
     c = unet_cost(model.input_n_frames, model.n_joints)
@@ -208,6 +250,8 @@ def main():
             '(ref models/mocodad.py:160-180) ~= 0.5 s/1024 windows on a '
             'modern GPU => 2000 w/s; repo publishes no measured number',
     }
+    if train_wps is not None:
+        out['training_windows_per_sec'] = round(train_wps, 1)
     if baseline_measured is not None:
         out['baseline_measured_windows_per_sec'] = round(baseline_measured, 1)
         out['vs_baseline_measured'] = round(wps / baseline_measured, 2)
