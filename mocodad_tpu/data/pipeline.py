@@ -100,9 +100,13 @@ def make_loader(ds: PoseWindows, batch_size: int, shuffle: bool = False,
     lives in HBM and the train step gathers `pool[idx]` on device —
     per-step host->device traffic drops from the full (B,C,T,V) batch to
     three (B,) vectors.  Incompatible with the per-item host-side random
-    augmentations (old_aug / double_item), which fall back to full
-    batches.
+    augmentations (old_aug / double_item), which need materialized
+    per-item data — requesting both is an error (the pool-eligibility
+    decision lives in Trainer._use_device_pool).
     """
+    if yield_indices and (ds.old_aug or double_item):
+        raise ValueError('yield_indices is incompatible with old_aug/'
+                         'double_item (per-item host-side augmentation)')
     n_virtual = len(ds)
     rng = np.random.default_rng(seed)
     order = np.arange(n_virtual)
@@ -119,7 +123,7 @@ def make_loader(ds: PoseWindows, batch_size: int, shuffle: bool = False,
         trans_idx = (idx // n).astype(np.int32)
         mask = np.zeros(idx.shape[0], dtype=np.float32)
         mask[:valid] = 1.0
-        if yield_indices and not ds.old_aug and not double_item:
+        if yield_indices:
             yield {'idx': sample_idx.astype(np.int32), 'trans': trans_idx,
                    'mask': mask}
             continue

@@ -113,7 +113,6 @@ class Trainer:
             step=jnp.zeros((), jnp.int32))
         # place replicated over the mesh up front so the first train step
         # compiles with the same shardings as every later one
-        from mocodad_tpu.parallel import replicated_sharding
         return jax.device_put(state, replicated_sharding(self.mesh))
 
     def _load_pretrained_into(self, params):
@@ -136,12 +135,17 @@ class Trainer:
         true/false to force.  Falls back to host batches for the
         per-item host-side random-crop path (old_aug)."""
         mode = self.cfg.extras.get('device_data', 'auto')
-        if mode in (False, 'false', 'off', 0):
+        if isinstance(mode, str):
+            mode = mode.strip().lower()
+        if mode in (False, 'false', 'off', 'no', '0', 0):
             return False
         if ds.old_aug:
             return False
-        if mode in (True, 'true', 'on', 1):
+        if mode in (True, 'true', 'on', 'yes', '1', 1):
             return True
+        if mode != 'auto':
+            raise ValueError(f'device_data must be auto/true/false, '
+                             f'got {mode!r}')
         cap_gb = float(self.cfg.extras.get('device_data_cap_gb', 4.0))
         return ds.data.nbytes <= cap_gb * 1e9
 
@@ -310,7 +314,6 @@ class Trainer:
         """
         import json
 
-        from mocodad_tpu.parallel import replicated_sharding
         from mocodad_tpu.training.checkpoint import load_checkpoint
         state = load_checkpoint(path, jax.device_get(template))
         epoch = None
