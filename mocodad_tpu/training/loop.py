@@ -213,7 +213,10 @@ class Trainer:
         mats = self.trans_mats
         n_cond = model.n_frames_condition
 
-        def eval_step(variables, batch, rng):
+        def eval_step(variables, batch, rng_base, batch_idx):
+            # per-batch key derived inside the jit: no eager fold_in
+            # dispatch between batches (same pattern as the train step)
+            rng = jax.random.fold_in(rng_base, batch_idx)
             data = apply_affine_batch(batch['data'], mats, batch['trans'])
             if getattr(model, 'stage', None) == 'pretrain':
                 # prediction is the reconstructed pose; validation metric
@@ -268,7 +271,7 @@ class Trainer:
             loss, pose = step_fn(
                 {'params': variables['params'],
                  'batch_stats': variables.get('batch_stats', {})},
-                sb, jax.random.fold_in(rng, i))
+                sb, rng, i)
             if jax.process_count() > 1:
                 # multi-host: the result spans processes; gather the full
                 # per-window vectors onto every host for scoring
