@@ -59,7 +59,12 @@ def main():
     ckpt_path = os.path.join(cfg.ckpt_dir, cfg.load_ckpt)
     variables = restore_variables(ckpt_path, template, use_ema=cfg.use_ema)
 
-    res = trainer.run_inference(ds, variables, jax.random.key(cfg.seed))
+    # Selected poses are only needed when they get saved; an AUC-only
+    # eval always uses the loss route (and works with every aggregation)
+    need_pose = (cfg.save_tensors and
+                 trainer.model.model_return_value in ('pose', 'all'))
+    res = trainer.run_inference(ds, variables, jax.random.key(cfg.seed),
+                                with_pose=need_pose)
     out, trans, meta, frames = (res['loss'], res['trans'], res['meta'],
                                 res['frames'])
 

@@ -43,6 +43,13 @@ def per_sample_losses(kind: str, xs: jnp.ndarray, target: jnp.ndarray
     return l.reshape(l.shape[0], l.shape[1], -1).mean(axis=-1)
 
 
+def selects_pose(strategy: str) -> bool:
+    """Whether aggregate() returns a selected pose for this strategy
+    (selected_x is None for the loss-only ones, as in the reference)."""
+    return not (strategy in ('mean', 'median')
+                or strategy.startswith('quantile'))
+
+
 def aggregate(strategy: str, loss_kind: str, xs: jnp.ndarray,
               target: jnp.ndarray, rng: Optional[jax.Array] = None
               ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:

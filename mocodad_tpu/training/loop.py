@@ -251,8 +251,9 @@ class Trainer:
         """
         if with_pose is None:
             with_pose = self.model.model_return_value in ('pose', 'all')
-        aggr = str(self.model.aggregation_strategy)
-        if with_pose and (aggr in ('mean', 'median') or 'quantile' in aggr):
+        from mocodad_tpu.models.losses import selects_pose
+        if with_pose and not selects_pose(
+                str(self.model.aggregation_strategy)):
             raise ValueError(
                 f"model_return_value '{self.model.model_return_value}' "
                 f"needs selected poses, but aggregation strategy "

@@ -26,6 +26,13 @@ def save_tensors(tensors: Dict[str, np.ndarray], ckpt_dir: str, split: str,
                  aggr_strategy: str, n_gen: int) -> str:
     path = tensors_dir(ckpt_dir, split, aggr_strategy, n_gen)
     os.makedirs(path, exist_ok=True)
+    # remove stale side tensors from a previous run with a different
+    # model_return_value (e.g. a leftover loss.npy would otherwise win
+    # over a fresh prediction at replay time and poison the AUC)
+    for name in set(TENSOR_NAMES + ['loss', 'pose']) - set(tensors):
+        stale = os.path.join(path, name + '.npy')
+        if os.path.exists(stale):
+            os.remove(stale)
     for name, arr in tensors.items():
         np.save(os.path.join(path, name + '.npy'), np.asarray(arr))
     return path

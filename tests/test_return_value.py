@@ -106,3 +106,45 @@ def test_pose_with_loss_only_aggregation_rejected(synth, tmp_path):
     variables = trainer.model.init_variables(jax.random.key(1))
     with pytest.raises(ValueError, match='loss-only'):
         trainer.run_inference(ds, variables, jax.random.key(2))
+
+
+def test_selects_pose_matches_aggregate_contract():
+    from mocodad_tpu.models.losses import selects_pose
+    assert selects_pose('best') and selects_pose('worst')
+    assert selects_pose('mean_pose') and selects_pose('median_pose')
+    assert selects_pose('all') and selects_pose('random')
+    assert not selects_pose('mean')
+    assert not selects_pose('median')
+    assert not selects_pose('quantile:0.9')
+
+
+def test_save_tensors_clears_stale_side_files(tmp_path):
+    """A leftover loss.npy from a 'pose' run must not survive a later
+    'loss' run into the same cache dir (replay prefers 'loss')."""
+    base = {'prediction': np.ones(4), 'gt_data': np.ones(2),
+            'trans': np.zeros(4), 'metadata': np.zeros((4, 4)),
+            'frames': np.zeros((4, 6))}
+    d = save_tensors({**base, 'loss': np.full(4, 7.0)}, str(tmp_path),
+                     'test', 'best', 5)
+    assert os.path.exists(os.path.join(d, 'loss.npy'))
+    save_tensors(base, str(tmp_path), 'test', 'best', 5)
+    assert not os.path.exists(os.path.join(d, 'loss.npy'))
+    assert os.path.exists(os.path.join(d, 'prediction.npy'))
+
+
+def test_loss_route_eval_works_with_loss_only_aggregation(synth, tmp_path):
+    """model_return_value 'pose' + a loss-only aggregation must still
+    support an AUC-only eval (with_pose=False); only a pose request
+    (with_pose=True) errors."""
+    cfg = _cfg(synth, tmp_path, aggregation_strategy='mean',
+               model_return_value='pose')
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    build_dataset(cfg, 'train')  # fits + saves the robust scaler
+    ds = build_dataset(cfg, split='test')
+    variables = trainer.model.init_variables(jax.random.key(0))
+    res = trainer.run_inference(ds, variables, jax.random.key(1),
+                                with_pose=False)
+    assert res['loss'].shape[0] == len(ds) and res['pose'] is None
+    with pytest.raises(ValueError, match='loss-only'):
+        trainer.run_inference(ds, variables, jax.random.key(1),
+                              with_pose=True)
