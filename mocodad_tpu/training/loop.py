@@ -62,7 +62,11 @@ class Trainer:
         self.trans_mats = affine_transform_matrices(max(cfg.num_transform, 1))
         self.use_ema = bool(cfg.use_ema)
         self._train_step = None
-        self._eval_step: Dict[bool, Any] = {}
+        self._eval_step: Dict[Any, Any] = {}
+        # device-resident eval pools, keyed on the host buffer so per-epoch
+        # validation uploads each dataset once (the ref re-materializes 5x
+        # host-side per epoch instead, utils/dataset.py:70-75)
+        self._eval_pools: Dict[int, Any] = {}
         self._log_every = int(cfg.extras.get('log_every_n_steps', 20))
         # Observability (SURVEY.md section 5): optional wandb mirror of the
         # metric stream, optional jax.profiler trace of the first steps,
@@ -208,16 +212,16 @@ class Trainer:
 
         return jax.jit(train_step, donate_argnums=(0,))
 
-    def _build_eval_step(self, with_pose: bool):
+    def _build_eval_step(self, with_pose: bool, pool_mode: bool = False):
         model = self.model
         mats = self.trans_mats
         n_cond = model.n_frames_condition
 
-        def eval_step(variables, batch, rng_base, batch_idx):
+        def _eval(variables, data, trans, rng_base, batch_idx):
             # per-batch key derived inside the jit: no eager fold_in
             # dispatch between batches (same pattern as the train step)
             rng = jax.random.fold_in(rng_base, batch_idx)
-            data = apply_affine_batch(batch['data'], mats, batch['trans'])
+            data = apply_affine_batch(data, mats, trans)
             if getattr(model, 'stage', None) == 'pretrain':
                 # prediction is the reconstructed pose; validation metric
                 # is plain reconstruction loss
@@ -231,6 +235,15 @@ class Trainer:
                 return loss, (pose if with_pose else None)
             sel, loss = model.generate(variables, data, rng)
             return loss, (sel if with_pose else None)
+
+        if pool_mode:
+            def eval_step(variables, pool, batch, rng_base, batch_idx):
+                return _eval(variables, pool[batch['idx']], batch['trans'],
+                             rng_base, batch_idx)
+        else:
+            def eval_step(variables, batch, rng_base, batch_idx):
+                return _eval(variables, batch['data'], batch['trans'],
+                             rng_base, batch_idx)
 
         # Measured-winning TPU fusion/VMEM options for the sampling chain
         # (-6% forward time; ops/xla_tuning.py, no-op off-TPU)
@@ -259,20 +272,47 @@ class Trainer:
                 f"needs selected poses, but aggregation strategy "
                 f"'{self.model.aggregation_strategy}' is loss-only "
                 f"(ref models/mocodad.py:492-501 returns selected_x=None)")
-        if with_pose not in self._eval_step:
-            self._eval_step[with_pose] = self._build_eval_step(with_pose)
-        step_fn = self._eval_step[with_pose]
+        use_pool = self._use_device_pool(ds)
+        key = (with_pose, use_pool)
+        if key not in self._eval_step:
+            self._eval_step[key] = self._build_eval_step(
+                with_pose, pool_mode=use_pool)
+        step_fn = self._eval_step[key]
         outs: Dict[str, list] = {k: [] for k in
                                  ('loss', 'pose', 'trans', 'meta', 'frames')}
-        loader = prefetch(
-            make_loader(ds, self.cfg.batch_size),
-            place=lambda b: (b, shard_batch(
-                {'data': b['data'], 'trans': b['trans']}, self.mesh)))
+        if use_pool:
+            # windows live in HBM; only (idx, trans) cross per batch, and
+            # the host-side meta/frames gathers ride in the producer thread
+            cached = self._eval_pools.get(id(ds.data))
+            if cached is None or cached[0] is not ds.data:
+                # single-entry cache: per-epoch validation reuses one ds,
+                # and evicting on switch bounds HBM at one pool.  The host
+                # buffer rides along so a recycled id() can never alias a
+                # stale pool
+                cached = (ds.data, jax.device_put(
+                    ds.data, replicated_sharding(self.mesh)))
+                self._eval_pools = {id(ds.data): cached}
+            pool = cached[1]
+            loader = prefetch(
+                make_loader(ds, self.cfg.batch_size, yield_indices=True),
+                place=lambda b: (
+                    {'trans': b['trans'], 'mask': b['mask'],
+                     'meta': ds.meta[b['idx']],
+                     'frames': ds.frames[b['idx']]},
+                    shard_batch({'idx': b['idx'], 'trans': b['trans']},
+                                self.mesh)))
+        else:
+            loader = prefetch(
+                make_loader(ds, self.cfg.batch_size),
+                place=lambda b: (b, shard_batch(
+                    {'data': b['data'], 'trans': b['trans']}, self.mesh)))
         for i, (batch, sb) in enumerate(loader):
-            loss, pose = step_fn(
-                {'params': variables['params'],
-                 'batch_stats': variables.get('batch_stats', {})},
-                sb, rng, i)
+            model_vars = {'params': variables['params'],
+                          'batch_stats': variables.get('batch_stats', {})}
+            if use_pool:
+                loss, pose = step_fn(model_vars, pool, sb, rng, i)
+            else:
+                loss, pose = step_fn(model_vars, sb, rng, i)
             if jax.process_count() > 1:
                 # multi-host: the result spans processes; gather the full
                 # per-window vectors onto every host for scoring

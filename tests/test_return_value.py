@@ -148,3 +148,34 @@ def test_loss_route_eval_works_with_loss_only_aggregation(synth, tmp_path):
     with pytest.raises(ValueError, match='loss-only'):
         trainer.run_inference(ds, variables, jax.random.key(1),
                               with_pose=True)
+
+
+def test_eval_pool_mode_matches_host_batches(synth, tmp_path):
+    """run_inference with the device-resident pool (index-only batches)
+    must produce identical outputs to host batches: same fold_in keys,
+    identical gathered data/affine views (num_transform virtualization),
+    same meta/frames/trans packing — on both the loss and pose routes."""
+    cfg = _cfg(synth, tmp_path, num_transform=2, model_return_value='pose')
+    build_dataset(cfg, 'train')
+    ds = build_dataset(cfg, 'test')
+    trainer = Trainer(cfg, mesh=make_mesh(2))
+    variables = trainer.model.init_variables(jax.random.key(3))
+
+    cfg.extras['device_data'] = False
+    host = trainer.run_inference(ds, variables, jax.random.key(4))
+    cfg.extras['device_data'] = True
+    pool = trainer.run_inference(ds, variables, jax.random.key(4))
+
+    np.testing.assert_allclose(host['loss'], pool['loss'],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(host['pose'], pool['pose'],
+                               rtol=1e-6, atol=1e-6)
+    for k in ('trans', 'meta', 'frames'):
+        np.testing.assert_array_equal(host[k], pool[k])
+
+    # the device pool is cached per host buffer: a second run must not
+    # re-upload, and the cache must evict when the dataset changes
+    key = id(ds.data)
+    dev = trainer._eval_pools[key][1]
+    trainer.run_inference(ds, variables, jax.random.key(4))
+    assert trainer._eval_pools[key][1] is dev
