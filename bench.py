@@ -145,9 +145,8 @@ def measure_training(cfg, model):
 def main():
     import sys
     import jax
-    jax.config.update('jax_compilation_cache_dir',
-                      os.environ['JAX_COMPILATION_CACHE_DIR'])
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    from mocodad_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache(os.environ['JAX_COMPILATION_CACHE_DIR'])
     from mocodad_tpu.config import Config
     from mocodad_tpu.models import MoCoDADModel
     from mocodad_tpu.ops.roofline import (HBM_BYTES_PER_S, PEAK_BF16_FLOPS,

@@ -22,6 +22,11 @@ def main():
     from mocodad_tpu.parallel import maybe_initialize
     maybe_initialize()
 
+    # on-disk compiled-program cache: repeat runs skip the multi-minute
+    # XLA compile of the sampling chain (utils/runtime.py)
+    from mocodad_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     from mocodad_tpu.data import build_dataset, transformed_gt_data
     from mocodad_tpu.training.checkpoint import restore_variables

@@ -23,6 +23,11 @@ def main():
     from mocodad_tpu.parallel import maybe_initialize
     maybe_initialize()
 
+    # on-disk compiled-program cache: re-runs/resumes skip the multi-minute
+    # XLA compile of the train/eval steps (utils/runtime.py)
+    from mocodad_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
     from mocodad_tpu.config import load_config
     cfg = load_config(cli.config)
 
