@@ -73,7 +73,9 @@ def measure_baseline(cfg, variables, data):
         tb = jnp.full((x.shape[0],), i, dtype=jnp.int32)
         eps = model.net.apply(variables, x, tb, emb,
                               method=MoCoDADNet.denoise)
-        a, ah, be = sched.alpha[i], sched.alpha_hat[i], sched.beta[i]
+        from mocodad_tpu.diffusion import coef
+        a, ah, be = (coef(sched.alpha, i), coef(sched.alpha_hat, i),
+                     coef(sched.beta, i))
         z = jax.random.normal(key, x.shape, x.dtype)
         z = jnp.where(i > 1, z, jnp.zeros_like(z))
         return (1.0 / jnp.sqrt(a)) * (

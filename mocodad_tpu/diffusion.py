@@ -47,14 +47,30 @@ def linear_beta_schedule(num_steps: int, beta_start: float = 1e-4,
 
 
 class DiffusionSchedule(NamedTuple):
-    """Constant noise-schedule tables; device-resident once jitted."""
-    beta: jnp.ndarray        # (noise_steps,)
-    alpha: jnp.ndarray       # (noise_steps,)
-    alpha_hat: jnp.ndarray   # (noise_steps,) cumulative product of alpha
+    """Constant noise-schedule tables.
+
+    Kept as HOST (numpy) arrays on purpose: jitted programs embed them as
+    literal constants at trace time.  Device-resident constants force
+    every cold-process lowering to fetch them back to host to build the
+    MLIR module — measured ~20 s per tiny array through a remote-device
+    transport (PERF_NOTES.md "End-to-end eval wall time").  Index them
+    with a traced timestep via `coef()`.
+    """
+    beta: np.ndarray         # (noise_steps,)
+    alpha: np.ndarray        # (noise_steps,)
+    alpha_hat: np.ndarray    # (noise_steps,) cumulative product of alpha
 
     @property
     def noise_steps(self) -> int:
         return self.beta.shape[0]
+
+
+def coef(table: np.ndarray, t) -> jnp.ndarray:
+    """Gather a schedule coefficient at (possibly traced) timestep(s) `t`.
+
+    Works under jit (the host table becomes a program literal) and
+    eagerly (plain numpy indexing for concrete `t`)."""
+    return jnp.asarray(table)[t]
 
 
 def make_schedule(noise_steps: int, kind: str = 'cosine') -> DiffusionSchedule:
@@ -64,9 +80,11 @@ def make_schedule(noise_steps: int, kind: str = 'cosine') -> DiffusionSchedule:
         beta = linear_beta_schedule(noise_steps)
     else:
         raise ValueError(f'unknown schedule kind {kind!r}')
-    beta = jnp.asarray(beta, dtype=jnp.float32)
-    alpha = 1.0 - beta
-    alpha_hat = jnp.cumprod(alpha)
+    # float32 sequential ops, matching what the previous on-device f32
+    # construction produced bit-for-bit
+    beta = np.asarray(beta, dtype=np.float32)
+    alpha = np.asarray(1.0 - beta, dtype=np.float32)
+    alpha_hat = np.cumprod(alpha, dtype=np.float32)
     return DiffusionSchedule(beta=beta, alpha=alpha, alpha_hat=alpha_hat)
 
 
@@ -86,7 +104,7 @@ def forward_noise(schedule: DiffusionSchedule, rng: jax.Array,
     `eps` overrides the gaussian draw (oracle tests inject the reference's
     noise); normal callers leave it None.
     """
-    a_hat = schedule.alpha_hat[t]
+    a_hat = coef(schedule.alpha_hat, t)
     bshape = (x.shape[0],) + (1,) * (x.ndim - 1)
     sqrt_a = jnp.sqrt(a_hat).reshape(bshape)
     sqrt_1ma = jnp.sqrt(1.0 - a_hat).reshape(bshape)
@@ -115,9 +133,9 @@ def reverse_sample(schedule: DiffusionSchedule,
         t, key = inputs
         tb = jnp.full((shape[0],), t, dtype=jnp.int32)
         eps_hat = denoise_fn(x, tb)
-        a = schedule.alpha[t]
-        a_hat = schedule.alpha_hat[t]
-        b = schedule.beta[t]
+        a = coef(schedule.alpha, t)
+        a_hat = coef(schedule.alpha_hat, t)
+        b = coef(schedule.beta, t)
         z = jax.random.normal(key, shape, dtype=dtype)
         z = jnp.where(t > 1, z, jnp.zeros_like(z))
         x = (1.0 / jnp.sqrt(a)) * (

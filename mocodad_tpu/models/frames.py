@@ -20,12 +20,17 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def static_order(cond_idxs: Tuple[int, ...], corrupt_idxs: Tuple[int, ...]
-                 ) -> jnp.ndarray:
-    """(T,) order for the deterministic strategies."""
-    return jnp.asarray(tuple(cond_idxs) + tuple(corrupt_idxs), dtype=jnp.int32)
+                 ) -> np.ndarray:
+    """(T,) order for the deterministic strategies.
+
+    Host (numpy) on purpose: it is a compile-time gather pattern, and a
+    device-resident constant would be fetched back through the device
+    transport at every cold-process lowering (see DiffusionSchedule)."""
+    return np.asarray(tuple(cond_idxs) + tuple(corrupt_idxs), dtype=np.int32)
 
 
 def random_order(rng: jax.Array, batch: int, n_frames: int, n_cond: int

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mocodad_tpu.config import Config
-from mocodad_tpu.diffusion import (DiffusionSchedule, forward_noise,
+from mocodad_tpu.diffusion import (DiffusionSchedule, coef, forward_noise,
                                    make_schedule, sample_timesteps)
 from mocodad_tpu.models import frames as F
 from mocodad_tpu.models.losses import aggregate, elementwise_loss
@@ -322,9 +322,9 @@ class MoCoDADModel:
             eps = denoise_fn(x_in, tb, emb_tiled)
             eps = F.extract_corrupt(self.strategy, eps, order_tiled,
                                     self.n_frames_condition)
-            a = self.schedule.alpha[t_scalar]
-            a_hat = self.schedule.alpha_hat[t_scalar]
-            beta = self.schedule.beta[t_scalar]
+            a = coef(self.schedule.alpha, t_scalar)
+            a_hat = coef(self.schedule.alpha_hat, t_scalar)
+            beta = coef(self.schedule.beta, t_scalar)
             # keep the update in the compute dtype (f32 scalars would
             # silently promote a bf16 chain back to f32)
             c1 = (1.0 / jnp.sqrt(a)).astype(x.dtype)
@@ -394,9 +394,9 @@ class MoCoDADModel:
                     jnp.full((1,), t_scalar), self.cfg.embedding_dim)
                 silu_emb = jax.nn.silu(emb_t + t_emb.T)     # (E, B*S)
                 eps = denoise(x, silu_emb).astype(jnp.float32)
-                a = self.schedule.alpha[t_scalar]
-                a_hat = self.schedule.alpha_hat[t_scalar]
-                beta = self.schedule.beta[t_scalar]
+                a = coef(self.schedule.alpha, t_scalar)
+                a_hat = coef(self.schedule.alpha_hat, t_scalar)
+                beta = coef(self.schedule.beta, t_scalar)
                 z = jax.random.normal(key, x.shape, dtype=jnp.float32)
                 z = jnp.where(t_scalar > 1, z, jnp.zeros_like(z))
                 x32 = x.astype(jnp.float32)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from mocodad_tpu.config import Config
-from mocodad_tpu.diffusion import forward_noise, sample_timesteps
+from mocodad_tpu.diffusion import coef, forward_noise, sample_timesteps
 from mocodad_tpu.models import frames as F
 from mocodad_tpu.models.losses import aggregate, elementwise_loss
 from mocodad_tpu.models.mocodad import MoCoDADModel, MoCoDADNet
@@ -154,7 +154,7 @@ class MoCoDADLatentModel(MoCoDADModel):
                                                   self.n_frames_condition)
 
         t = sample_timesteps(r_t, b, self.schedule.noise_steps)
-        a_hat = self.schedule.alpha_hat[t]
+        a_hat = coef(self.schedule.alpha_hat, t)
         sqrt_a, sqrt_1ma = jnp.sqrt(a_hat), jnp.sqrt(1.0 - a_hat)
         eps = jax.random.normal(r_noise, (b, self.latent_embedding_dim),
                                 dtype=data.dtype)
@@ -220,9 +220,9 @@ class MoCoDADLatentModel(MoCoDADModel):
             tb = jnp.full((s * b,), t_scalar, dtype=jnp.int32)
             eps = self.net.apply(variables, z, tb, emb_tiled,
                                  method=MoCoDADLatentNet.denoise_latent)
-            a = self.schedule.alpha[t_scalar]
-            a_hat = self.schedule.alpha_hat[t_scalar]
-            beta = self.schedule.beta[t_scalar]
+            a = coef(self.schedule.alpha, t_scalar)
+            a_hat = coef(self.schedule.alpha_hat, t_scalar)
+            beta = coef(self.schedule.beta, t_scalar)
             noise = jax.random.normal(key, z.shape, dtype=z.dtype)
             noise = jnp.where(t_scalar > 1, noise, jnp.zeros_like(noise))
             z = (1.0 / jnp.sqrt(a)) * (

@@ -306,21 +306,32 @@ class Trainer:
                 make_loader(ds, self.cfg.batch_size),
                 place=lambda b: (b, shard_batch(
                     {'data': b['data'], 'trans': b['trans']}, self.mesh)))
+        model_vars = {'params': variables['params'],
+                      'batch_stats': variables.get('batch_stats', {})}
+        # Dispatch the whole pass without per-batch device syncs: results
+        # stay on device until the end, so batch k+1's launch overlaps
+        # batch k's sampling chain (a per-batch np.asarray would serialize
+        # every launch against a device->host fetch).  Per-batch results
+        # are small ((B,) losses, optionally (B,C,Tc,V) poses), so holding
+        # them all is cheap next to the window pool itself.
+        pending = []  # (loss_dev, pose_dev, host_batch)
         for i, (batch, sb) in enumerate(loader):
-            model_vars = {'params': variables['params'],
-                          'batch_stats': variables.get('batch_stats', {})}
             if use_pool:
                 loss, pose = step_fn(model_vars, pool, sb, rng, i)
             else:
                 loss, pose = step_fn(model_vars, sb, rng, i)
             if jax.process_count() > 1:
                 # multi-host: the result spans processes; gather the full
-                # per-window vectors onto every host for scoring
+                # per-window vectors onto every host for scoring (eager,
+                # but DCN meshes don't run behind a serializing tunnel)
                 from jax.experimental import multihost_utils
                 loss = multihost_utils.process_allgather(loss, tiled=True)
                 if pose is not None:
                     pose = multihost_utils.process_allgather(pose,
                                                              tiled=True)
+            pending.append((loss, pose, batch))
+        jax.block_until_ready([p[0] for p in pending])
+        for loss, pose, batch in pending:
             valid = batch['mask'] > 0
             outs['loss'].append(np.asarray(loss)[valid])
             if pose is not None:
