@@ -24,6 +24,38 @@ from mocodad_tpu.eval.scoring import (compute_var_matrix, get_avenue_mask,
                                       score_process)
 
 
+def clip_frame_scores(out_sc: np.ndarray, meta_sc: np.ndarray,
+                      frames_sc: np.ndarray, n_frames: int,
+                      gt: Optional[np.ndarray] = None,
+                      pad_size: int = -1) -> np.ndarray:
+    """Per-frame anomaly scores for ONE clip under ONE transformation
+    (the inner block of `post_processing`; ref models/mocodad.py:386-401):
+    per actor, scatter window losses onto the frame timeline, nanmax over
+    covering windows, optional absence padding (needs `gt` for the
+    presence intervals), then actor aggregation mean + log1p amplitude.
+    Actor-less clips score all-normal (the reference crashes there)."""
+    figs_ids = sorted(set(meta_sc[:, 2].tolist()))
+    error_per_person = []
+    for fig in figs_ids:
+        cond_fig = meta_sc[:, 2] == fig
+        out_fig, frames_fig = out_sc[cond_fig], frames_sc[cond_fig]
+        loss_matrix = compute_var_matrix(out_fig, frames_fig, n_frames)
+        fig_loss = np.nanmax(loss_matrix, axis=0)
+        if pad_size != -1:
+            if gt is None:
+                raise ValueError('pad_size != -1 requires the gt mask '
+                                 '(absence intervals come from it)')
+            fig_loss = pad_scores(fig_loss, gt, pad_size)
+        error_per_person.append(fig_loss)
+
+    if not error_per_person:
+        return np.zeros(n_frames)
+    clip_score = np.stack(error_per_person, axis=0)
+    clip_log = np.log1p(clip_score)
+    return (np.mean(clip_score, axis=0)
+            + (np.amax(clip_log, axis=0) - np.amin(clip_log, axis=0)))
+
+
 def post_processing(out: np.ndarray, trans: np.ndarray, meta: np.ndarray,
                     frames: np.ndarray, *, gt_path: str, num_transform: int,
                     dataset_name: str, split: str, use_hr: bool,
@@ -70,29 +102,9 @@ def post_processing(out: np.ndarray, trans: np.ndarray, meta: np.ndarray,
             out_sc, meta_sc, frames_sc = (out_t[cond_sc], meta_t[cond_sc],
                                           frames_t[cond_sc])
 
-            figs_ids = sorted(set(meta_sc[:, 2].tolist()))
-            error_per_person = []
-            for fig in figs_ids:
-                cond_fig = meta_sc[:, 2] == fig
-                out_fig, frames_fig = out_sc[cond_fig], frames_sc[cond_fig]
-                loss_matrix = compute_var_matrix(out_fig, frames_fig,
-                                                 n_frames)
-                fig_loss = np.nanmax(loss_matrix, axis=0)
-                if pad_size != -1:
-                    fig_loss = pad_scores(fig_loss, gt, pad_size)
-                error_per_person.append(fig_loss)
-
-            if error_per_person:
-                clip_score = np.stack(error_per_person, axis=0)
-                clip_log = np.log1p(clip_score)
-                clip_score = (np.mean(clip_score, axis=0)
-                              + (np.amax(clip_log, axis=0)
-                                 - np.amin(clip_log, axis=0)))
-            else:
-                # The reference crashes on actor-less clips
-                # (np.stack of an empty list, models/mocodad.py:399);
-                # we score such clips as all-normal.
-                clip_score = np.zeros(n_frames)
+            clip_score = clip_frame_scores(out_sc, meta_sc, frames_sc,
+                                           n_frames, gt=gt,
+                                           pad_size=pad_size)
 
             if (scene_idx, clip_idx) in hr_ubnormal:
                 m = hr_ubnormal[(scene_idx, clip_idx)]

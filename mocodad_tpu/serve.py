@@ -1,0 +1,293 @@
+"""Online (streaming) anomaly-scoring service tier.
+
+The reference is strictly batch-offline: poses for a whole split are
+materialized up front and scored in one pass (ref eval_MoCoDAD.py,
+models/mocodad.py:230-321).  A production deployment instead receives
+pose tracks frame by frame (e.g. from an AlphaPose+PoseFlow tracker on a
+live camera) and needs per-frame anomaly scores with bounded latency.
+`StreamScorer` provides that on top of the same model/scoring semantics:
+
+* per-actor ring buffers assemble seg_len sliding windows as frames
+  arrive, applying the SAME per-frame normalization as the offline
+  robust path (bbox-centre coordinates via trajectories._to_bbox_centre,
+  then the train-split-fitted persisted scaler) — both are per-frame /
+  per-feature operations, so streamed windows are bit-identical to
+  data/robust.robust_pose_windows output for the same track
+  (tests/test_serve.py pins this);
+* windows are scored under every affine view transform (the offline
+  chain averages scores over views, ref models/mocodad.py:362-424);
+* a static-shape micro-batcher pads pending windows to a fixed batch so
+  the TPU program compiles ONCE (the tuned-option jit from
+  ops/xla_tuning.py); per-batch losses stay on device until drained;
+* `finalize_clip` runs the exact offline scoring chain (eval/harness.py
+  clip_frame_scores + shift/gaussian smoothing + transform averaging)
+  over the clip's accumulated window losses.
+
+Latency/semantics note: window inference streams (the expensive part —
+96% of eval time is the U-Net chain, PERF_NOTES.md); the final per-frame
+score chain needs the whole clip because the reference's actor
+aggregation adds a clip-global log1p amplitude term and the gaussian
+smoothing is non-causal (ref models/mocodad.py:399-401,
+utils/eval_utils.py:100-106).  `partial_scores` gives provisional
+per-frame scores mid-clip for monitoring; `finalize_clip` is the
+reference-exact result.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mocodad_tpu.config import Config
+
+
+class _Track:
+    __slots__ = ('frames', 'coords')
+
+    def __init__(self):
+        self.frames: List[int] = []
+        self.coords: List[np.ndarray] = []   # raw (V*2,) image coords
+
+
+class StreamScorer:
+    """Streaming per-frame anomaly scoring with offline-equal semantics.
+
+    Parameters
+    ----------
+    cfg: a finalized Config (same YAML the offline CLIs consume).
+    variables: model variables {'params', 'batch_stats'}; when None they
+        are restored from `cfg.ckpt_dir / cfg.load_ckpt` like the eval CLI.
+    batch_size: static micro-batch size (windows x views per launch).
+    flush_every: auto-flush whenever this many windows x views are
+        pending; None flushes only on demand / finalize.
+    """
+
+    def __init__(self, cfg: Config, variables: Optional[Dict] = None,
+                 batch_size: int = 256,
+                 flush_every: Optional[int] = None):
+        import jax
+
+        from mocodad_tpu.data.scalers import load_scaler
+        from mocodad_tpu.data.robust import scaler_artifact_path
+        from mocodad_tpu.data.transforms import affine_transform_matrices
+        from mocodad_tpu.models import build_model
+
+        if cfg.num_coords not in (2, 3):
+            raise NotImplementedError(
+                'StreamScorer supports the local-coordinate path '
+                '(num_coords 2/3); global bbox features (num_coords=6) '
+                'are offline-only for now')
+        if cfg.normalization_strategy != 'robust':
+            raise NotImplementedError(
+                'StreamScorer normalizes via the robust CSV path; '
+                f'got normalization_strategy={cfg.normalization_strategy!r}')
+
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        if variables is None:
+            import os
+            from mocodad_tpu.training.checkpoint import restore_variables
+            path = os.path.join(cfg.ckpt_dir, cfg.load_ckpt)
+            template = self.model.init_variables(jax.random.key(0))
+            variables = restore_variables(path, template)
+        self.variables = {'params': variables['params'],
+                          'batch_stats': variables.get('batch_stats', {})}
+
+        self.scaler = load_scaler(scaler_artifact_path(
+            cfg.ckpt_dir, 'local', cfg.normalization_strategy))
+        self.vid_res = np.asarray(cfg.vid_res, dtype=np.float32)
+        self.num_transform = max(cfg.num_transform, 1)
+        self.mats = affine_transform_matrices(self.num_transform)
+        self.batch_size = int(batch_size)
+        self.flush_every = flush_every
+        self.seg_len = cfg.seg_len
+
+        self._tracks: Dict[Tuple[int, int, int], _Track] = \
+            collections.defaultdict(_Track)
+        # pending windows awaiting inference
+        self._q_data: List[np.ndarray] = []    # (C, T, V)
+        self._q_trans: List[int] = []
+        self._q_meta: List[np.ndarray] = []    # (4,)
+        self._q_frames: List[np.ndarray] = []  # (T,)
+        # scored results (host) per clip
+        self._scored: Dict[Tuple[int, int], Dict[str, list]] = \
+            collections.defaultdict(lambda: {'loss': [], 'trans': [],
+                                             'meta': [], 'frames': []})
+        self._pending_dev: List = []  # (loss_dev, trans, meta, frames, nval)
+
+        self._rng = jax.random.key(cfg.seed)
+        self._batch_idx = 0
+        self._step = self._build_step()
+
+    # -- device step -------------------------------------------------------
+
+    def _build_step(self):
+        import jax
+
+        from mocodad_tpu.data.transforms import apply_affine_batch
+        from mocodad_tpu.ops.xla_tuning import tuned_compiler_options
+
+        model, mats = self.model, self.mats
+
+        def step(variables, data, trans, rng_base, batch_idx):
+            rng = jax.random.fold_in(rng_base, batch_idx)
+            data = apply_affine_batch(data, mats, trans)
+            _, loss = model.generate(variables, data, rng)
+            return loss
+
+        return jax.jit(step, compiler_options=tuned_compiler_options())
+
+    # -- ingestion ----------------------------------------------------------
+
+    def push(self, scene: int, clip: int, person: int, frame: int,
+             keypoints: np.ndarray) -> None:
+        """Feed one actor's pose for one frame.
+
+        keypoints: (V, 2) raw image coordinates (the CSV column layout,
+        ref utils/data.py:219-236); zeros mark missing joints.  Windows
+        are emitted over arrival positions exactly like the offline
+        windowing (data/windows.py window_index_matrix with the eval
+        split's stride 1)."""
+        kp = np.asarray(keypoints, dtype=np.float32).reshape(-1)
+        tr = self._tracks[(scene, clip, person)]
+        tr.frames.append(int(frame))
+        tr.coords.append(kp)
+        if len(tr.frames) >= self.seg_len:
+            start = len(tr.frames) - self.seg_len
+            self._enqueue_window(scene, clip, person, tr, start)
+        if (self.flush_every is not None
+                and len(self._q_data) >= self.flush_every):
+            self.flush()
+
+    def _enqueue_window(self, scene: int, clip: int, person: int,
+                        tr: _Track, start: int) -> None:
+        from mocodad_tpu.data.scalers import scale_trajectories
+        from mocodad_tpu.data.trajectories import _to_bbox_centre
+
+        raw = np.stack(tr.coords[start:start + self.seg_len])  # (T, V*2)
+        local = _to_bbox_centre(raw, self.vid_res)
+        scaled, _ = scale_trajectories(local[None], scaler=self.scaler,
+                                       strategy='robust')
+        t, v = self.seg_len, raw.shape[1] // 2
+        window = np.empty((t, v, 3), dtype=np.float32)
+        window[..., :2] = scaled[0].reshape(t, v, 2)
+        window[..., 2] = 1.0
+        if self.cfg.kp18_format and v == 17:
+            from mocodad_tpu.data.json_pose import keypoints17_to_coco18
+            window = keypoints17_to_coco18(window[None])[0]
+        if self.cfg.headless:
+            window = window[:, :14]
+        data = np.transpose(window, (2, 0, 1))[:self.cfg.num_coords]
+
+        meta = np.array([scene, clip, person, tr.frames[start]],
+                        dtype=np.int64)
+        frames = np.asarray(tr.frames[start:start + self.seg_len],
+                            dtype=np.int32)
+        for trans in range(self.num_transform):
+            self._q_data.append(data)
+            self._q_trans.append(trans)
+            self._q_meta.append(meta)
+            self._q_frames.append(frames)
+
+    # -- inference ----------------------------------------------------------
+
+    @property
+    def pending(self) -> int:
+        return len(self._q_data)
+
+    def flush(self, force: bool = False) -> None:
+        """Run inference on pending windows in static-shape batches.
+
+        Launches are pipelined (device refs held, no per-batch host
+        fetch).  With force=True a final partial batch is padded to
+        batch_size and its padding rows dropped on drain."""
+        b = self.batch_size
+        while len(self._q_data) >= b or (force and self._q_data):
+            n = min(b, len(self._q_data))
+            data = np.stack(self._q_data[:n])
+            trans = np.asarray(self._q_trans[:n], dtype=np.int32)
+            meta = np.stack(self._q_meta[:n])
+            frames = np.stack(self._q_frames[:n])
+            del self._q_data[:n], self._q_trans[:n]
+            del self._q_meta[:n], self._q_frames[:n]
+            if n < b:  # pad to the static shape
+                pad = b - n
+                data = np.concatenate([data, np.repeat(data[-1:], pad, 0)])
+                trans = np.concatenate([trans,
+                                        np.repeat(trans[-1:], pad, 0)])
+            loss = self._step(self.variables, data, trans, self._rng,
+                              self._batch_idx)
+            self._batch_idx += 1
+            self._pending_dev.append((loss, trans[:n], meta, frames, n))
+
+    def _drain(self) -> None:
+        for loss, trans, meta, frames, n in self._pending_dev:
+            loss = np.asarray(loss)[:n]
+            for i in range(n):
+                key = (int(meta[i, 0]), int(meta[i, 1]))
+                r = self._scored[key]
+                r['loss'].append(float(loss[i]))
+                r['trans'].append(int(trans[i]))
+                r['meta'].append(meta[i])
+                r['frames'].append(frames[i])
+        self._pending_dev.clear()
+
+    # -- scoring ------------------------------------------------------------
+
+    def _clip_scores(self, key: Tuple[int, int], n_frames: int,
+                     gt: Optional[np.ndarray], smooth: bool,
+                     pad_size: Optional[int] = None) -> np.ndarray:
+        from mocodad_tpu.eval.harness import clip_frame_scores
+        from mocodad_tpu.eval.scoring import score_process
+
+        r = self._scored.get(key)
+        if r is None or not r['loss']:
+            return np.zeros(n_frames)
+        loss = np.asarray(r['loss'])
+        trans = np.asarray(r['trans'])
+        meta = np.stack(r['meta'])
+        frames = np.stack(r['frames'])
+        if pad_size is None:
+            pad_size = self.cfg.pad_size
+        per_view = []
+        for transformation in range(self.num_transform):
+            c = trans == transformation
+            s = clip_frame_scores(loss[c], meta[c], frames[c], n_frames,
+                                  gt=gt, pad_size=pad_size)
+            if smooth:
+                s = score_process(s, self.cfg.frames_shift,
+                                  self.cfg.filter_kernel_size)
+            per_view.append(s)
+        return np.mean(np.stack(per_view, 0), 0)
+
+    def partial_scores(self, scene: int, clip: int, n_frames: int
+                       ) -> np.ndarray:
+        """Provisional per-frame scores mid-clip (no absence padding or
+        smoothing — those are clip-global).  Scores for recent frames
+        will still rise as future windows cover them."""
+        self.flush(force=True)
+        self._drain()
+        return self._clip_scores((scene, clip), n_frames, gt=None,
+                                 smooth=False, pad_size=-1)
+
+    def finalize_clip(self, scene: int, clip: int, n_frames: int,
+                      gt: Optional[np.ndarray] = None) -> np.ndarray:
+        """Reference-exact per-frame scores for a finished clip: the full
+        offline chain (actor nanmax scatter, optional absence padding,
+        mean + log1p amplitude, shift + gaussian smoothing, view
+        averaging; ref models/mocodad.py:386-424).  Frees the clip's
+        buffers."""
+        self.flush(force=True)
+        self._drain()
+        if self.cfg.pad_size != -1 and gt is None:
+            raise ValueError('cfg.pad_size != -1: pass the gt mask (the '
+                             'reference takes absence intervals from it)')
+        scores = self._clip_scores((scene, clip), n_frames, gt=gt,
+                                   smooth=True)
+        self._scored.pop((scene, clip), None)
+        for key in [k for k in self._tracks
+                    if k[0] == scene and k[1] == clip]:
+            del self._tracks[key]
+        return scores

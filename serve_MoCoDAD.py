@@ -1,0 +1,77 @@
+"""Streaming anomaly-scoring service CLI.
+
+Reads a JSON-lines pose stream on stdin and emits per-frame anomaly
+scores per clip on stdout — the online counterpart of eval_MoCoDAD.py
+(the reference has no serving story; this consumes the same YAML config
+and checkpoint artifacts).  Protocol (one JSON object per line):
+
+  in:  {"type": "pose", "scene": 0, "clip": 1, "person": 2,
+        "frame": 17, "keypoints": [[x, y], ... V entries ...]}
+  in:  {"type": "end_clip", "scene": 0, "clip": 1, "n_frames": 60}
+  out: {"type": "scores", "scene": 0, "clip": 1, "scores": [...]}
+
+Scores follow the exact offline chain (mocodad_tpu/serve.py); when the
+config sets pad_size != -1 the gt mask is read from cfg.gt_path like the
+offline scorer (the reference derives absence intervals from it,
+utils/eval_utils.py:133-149).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def serve(cfg, fin, fout, batch_size: int, flush_every):
+    import numpy as np
+
+    from mocodad_tpu.serve import StreamScorer
+
+    scorer = StreamScorer(cfg, batch_size=batch_size,
+                          flush_every=flush_every)
+    for line in fin:
+        line = line.strip()
+        if not line:
+            continue
+        msg = json.loads(line)
+        kind = msg.get('type')
+        if kind == 'pose':
+            scorer.push(int(msg['scene']), int(msg['clip']),
+                        int(msg['person']), int(msg['frame']),
+                        np.asarray(msg['keypoints'], dtype=np.float32))
+        elif kind == 'end_clip':
+            scene, clip = int(msg['scene']), int(msg['clip'])
+            n_frames = int(msg['n_frames'])
+            gt = None
+            if cfg.pad_size != -1:
+                gt = np.load(os.path.join(cfg.gt_path,
+                                          f'{scene}_{clip}.npy'))
+            scores = scorer.finalize_clip(scene, clip, n_frames, gt=gt)
+            fout.write(json.dumps({
+                'type': 'scores', 'scene': scene, 'clip': clip,
+                'scores': [round(float(s), 6) for s in scores]}) + '\n')
+            fout.flush()
+        else:
+            print(f'ignoring unknown message type {kind!r}',
+                  file=sys.stderr)
+
+
+def main():
+    parser = argparse.ArgumentParser(description='MoCoDAD streaming scorer')
+    parser.add_argument('-c', '--config', type=str, required=True)
+    parser.add_argument('--batch-size', type=int, default=256,
+                        help='static micro-batch (windows x views)')
+    parser.add_argument('--flush-every', type=int, default=None,
+                        help='auto-run inference once this many windows '
+                             'are pending (default: only at end_clip)')
+    cli = parser.parse_args()
+
+    from mocodad_tpu.config import load_config
+    from mocodad_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    cfg = load_config(cli.config)
+    serve(cfg, sys.stdin, sys.stdout, cli.batch_size, cli.flush_every)
+
+
+if __name__ == '__main__':
+    main()

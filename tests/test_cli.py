@@ -112,3 +112,56 @@ def test_predict_then_replay_matches_direct_eval(workspace):
     # --report writes the self-contained score-analysis page
     report = ckpt_dir / 'report_test.html'
     assert report.exists() and 'base64' in report.read_text()[:200000]
+
+
+def test_serve_cli_streams_scores(workspace):
+    """serve_MoCoDAD.py: JSONL pose stream in -> per-clip scores out,
+    consuming the artifacts the train CLI wrote (checkpoint + scaler)."""
+    import json
+
+    import numpy as np
+
+    from mocodad_tpu.data import trajectories as T
+
+    root = workspace['root']
+    serve_cfg = dict(workspace['test_cfg'])
+    serve_yaml = root / 'serve.yaml'
+    serve_yaml.write_text(yaml.safe_dump(serve_cfg))
+
+    # stream one clip's raw CSV tracks
+    traj_dir = os.path.join(serve_cfg['data_dir'], 'testing', 'trajectories')
+    trajs = T.load_trajectories(traj_dir, split='test')
+    lines = []
+    scene_clip = None
+    for t in trajs.values():
+        scene, clip = map(int, t.trajectory_id.split('_')[0].split('-'))
+        if scene_clip is None:
+            scene_clip = (scene, clip)
+        if (scene, clip) != scene_clip:
+            continue
+        for i in range(len(t)):
+            lines.append(json.dumps({
+                'type': 'pose', 'scene': scene, 'clip': clip,
+                'person': int(t.person_id), 'frame': int(t.frames[i]),
+                'keypoints': t.coordinates[i].reshape(-1, 2).tolist()}))
+    gt = np.load(os.path.join(serve_cfg['test_path'],
+                              f'{scene_clip[0]}_{scene_clip[1]}.npy'))
+    lines.append(json.dumps({'type': 'end_clip', 'scene': scene_clip[0],
+                             'clip': scene_clip[1],
+                             'n_frames': int(gt.shape[0])}))
+
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('PYTHONPATH', None)
+    out = subprocess.run(
+        [sys.executable, '-u', 'serve_MoCoDAD.py', '--config',
+         str(serve_yaml), '--batch-size', '32', '--flush-every', '32'],
+        cwd=REPO, env=env, input='\n'.join(lines) + '\n',
+        capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, f'serve failed:\n{out.stdout}\n{out.stderr}'
+    msgs = [json.loads(l) for l in out.stdout.splitlines() if l.strip()]
+    scores_msgs = [m for m in msgs if m.get('type') == 'scores']
+    assert len(scores_msgs) == 1
+    scores = np.asarray(scores_msgs[0]['scores'])
+    assert scores.shape == (gt.shape[0],)
+    assert np.isfinite(scores).all() and (scores >= 0).all()

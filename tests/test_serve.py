@@ -1,0 +1,180 @@
+"""Streaming scorer (mocodad_tpu/serve.py): online == offline parity.
+
+The production claim is that streamed windows and clip scores are exactly
+what the offline batch pipeline produces for the same pose tracks — so
+these tests pin (a) window tensors/meta/frames bit-equal to
+data/robust.robust_pose_windows via build_dataset, (b) the finalize_clip
+score chain equal to eval/harness.post_processing per clip, and (c) the
+jitted micro-batch inference path end-to-end on tiny shapes.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from mocodad_tpu.config import Config
+from mocodad_tpu.data import build_dataset, synthetic
+from mocodad_tpu.data import trajectories as T
+from mocodad_tpu.eval.harness import post_processing
+from mocodad_tpu.serve import StreamScorer
+
+
+@pytest.fixture(scope='module')
+def synth(tmp_path_factory):
+    d = tmp_path_factory.mktemp('serve_data')
+    synthetic.generate(str(d), seed=5, n_clips_per_split=2, n_actors=2,
+                       n_frames=48)
+    return str(d)
+
+
+def _cfg(synth, tmp_path, **kw):
+    base = dict(
+        split='train', data_dir=synth, exp_dir=str(tmp_path),
+        ckpt_dir=str(tmp_path), dataset_choice='UBnormal', seg_len=6,
+        conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
+        conditioning_architecture='AE', channels=[8, 4, 8],
+        embedding_dim=8, h_dim=8, latent_dim=8, dropout=0.0,
+        noise_steps=5, opt_lr=1e-3, batch_size=64, num_coords=2,
+        num_transform=2, seg_stride=1, n_generated_samples=2,
+        aggregation_strategy='best', model_return_value='loss',
+        vid_res=[640, 360], normalization_strategy='robust',
+        use_hr=False, validation=False, seed=7,
+        filter_kernel_size=4, frames_shift=3, pad_size=-1,
+        test_path=os.path.join(synth, 'testing', 'test_frame_mask'),
+        gt_path=os.path.join(synth, 'testing', 'test_frame_mask'))
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope='module')
+def fitted(synth, tmp_path_factory):
+    """Train-split build persists the local robust scaler artifact the
+    scorer loads (the offline CLI flow does the same)."""
+    tmp = tmp_path_factory.mktemp('serve_ckpt')
+    cfg = _cfg(synth, tmp)
+    build_dataset(cfg, 'train')
+    return cfg
+
+
+def _stream_test_split(scorer, synth):
+    """Push the test split's raw CSV tracks in the offline loader's
+    trajectory order; returns the per-clip frame counts from the gt."""
+    path = os.path.join(synth, 'testing', 'trajectories')
+    trajs = T.load_trajectories(path, split='test')
+    for t in trajs.values():
+        scene, clip = map(int, t.trajectory_id.split('_')[0].split('-'))
+        person = int(t.person_id)
+        for i in range(len(t)):
+            scorer.push(scene, clip, person, int(t.frames[i]),
+                        t.coordinates[i].reshape(-1, 2))
+
+
+def test_streamed_windows_equal_offline(synth, fitted):
+    cfg = fitted
+    ds = build_dataset(cfg, 'test')
+
+    scorer = StreamScorer(cfg, variables=_init_vars(cfg), batch_size=32)
+    _stream_test_split(scorer, synth)
+
+    # queued entries replicate each window per view; take view 0
+    sel = [i for i, tr in enumerate(scorer._q_trans) if tr == 0]
+    got = np.stack([scorer._q_data[i] for i in sel])
+    meta = np.stack([scorer._q_meta[i] for i in sel])
+    frames = np.stack([scorer._q_frames[i] for i in sel])
+
+    assert got.shape == ds.data.shape
+    np.testing.assert_array_equal(meta, ds.meta)
+    np.testing.assert_array_equal(frames, ds.frames)
+    np.testing.assert_array_equal(got, ds.data)
+    # every view is enqueued per window
+    assert len(scorer._q_data) == ds.data.shape[0] * cfg.num_transform
+
+
+def _init_vars(cfg):
+    import jax
+    from mocodad_tpu.models import build_model
+    model = build_model(cfg)
+    return model.init_variables(jax.random.key(0))
+
+
+def test_finalize_matches_post_processing(synth, fitted):
+    """Inject identical fabricated window losses into the scorer and the
+    offline chain; per-clip finalized scores must match post_processing's
+    concatenated scores exactly."""
+    cfg = fitted
+    ds = build_dataset(cfg, 'test')
+    n = ds.num_samples
+    rng = np.random.default_rng(0)
+    # offline layout: all windows under view 0, then view 1 (loader's
+    # virtual index space); same loss for a window under both views would
+    # hide transform handling, so draw independent ones
+    losses = rng.gamma(2.0, 1.0, size=n * cfg.num_transform)
+    trans = np.repeat(np.arange(cfg.num_transform), n).astype(np.int64)
+    meta = np.concatenate([ds.meta] * cfg.num_transform)
+    frames = np.concatenate([ds.frames] * cfg.num_transform)
+
+    auc, pds, gt = post_processing(
+        losses, trans, meta, frames, gt_path=cfg.gt_path,
+        num_transform=cfg.num_transform, dataset_name=cfg.dataset_choice,
+        split='test', use_hr=False, pad_size=-1,
+        filter_kernel_size=cfg.filter_kernel_size,
+        frames_shift=cfg.frames_shift, return_scores=True)
+
+    scorer = StreamScorer(cfg, variables=_init_vars(cfg), batch_size=32)
+    # bypass inference: inject the same losses into the scored store
+    for i in range(losses.shape[0]):
+        key = (int(meta[i, 0]), int(meta[i, 1]))
+        r = scorer._scored[key]
+        r['loss'].append(float(losses[i]))
+        r['trans'].append(int(trans[i]))
+        r['meta'].append(meta[i])
+        r['frames'].append(frames[i])
+
+    gts = sorted(f for f in os.listdir(cfg.gt_path) if f.endswith('.npy'))
+    chunks = []
+    for f in gts:
+        scene, clip = int(f.split('_')[0]), int(f.split('_')[1][:-4])
+        n_frames = np.load(os.path.join(cfg.gt_path, f)).shape[0]
+        chunks.append(scorer.finalize_clip(scene, clip, n_frames))
+    np.testing.assert_allclose(np.concatenate(chunks), pds, rtol=0, atol=0)
+
+
+def test_stream_inference_end_to_end(synth, fitted):
+    """Real jitted micro-batched inference over streamed tracks: every
+    window×view gets a finite loss, partial/final scores have the right
+    shape, buffers are freed on finalize."""
+    cfg = fitted
+    scorer = StreamScorer(cfg, variables=_init_vars(cfg), batch_size=16,
+                          flush_every=16)
+    _stream_test_split(scorer, synth)
+    ds = build_dataset(cfg, 'test')
+    total = ds.data.shape[0] * cfg.num_transform
+
+    partial = scorer.partial_scores(0, 0, n_frames=48)
+    assert partial.shape == (48,) and np.isfinite(partial).all()
+
+    gts = sorted(f for f in os.listdir(cfg.gt_path) if f.endswith('.npy'))
+    seen = 0
+    for f in gts:
+        scene, clip = int(f.split('_')[0]), int(f.split('_')[1][:-4])
+        scores = scorer.finalize_clip(scene, clip, n_frames=48)
+        assert scores.shape == (48,)
+        assert np.isfinite(scores).all()
+        assert (scores >= 0).all()
+        seen += 1
+    assert seen == 2
+    assert scorer.pending == 0
+    assert not scorer._scored and not scorer._tracks
+
+
+def test_guardrails(synth, fitted):
+    cfg6 = _cfg(synth, fitted.ckpt_dir, num_coords=6)
+    with pytest.raises(NotImplementedError):
+        StreamScorer(cfg6, variables=None)
+
+    # pad_size != -1 needs the gt mask at finalize (absence intervals)
+    cfg_pad = _cfg(synth, fitted.ckpt_dir, pad_size=2)
+    s2 = StreamScorer(cfg_pad, variables=_init_vars(cfg_pad), batch_size=8)
+    with pytest.raises(ValueError):
+        s2.finalize_clip(0, 0, n_frames=10)
