@@ -117,25 +117,27 @@ def measure_baseline(cfg, variables, data):
 
 def measure_training(cfg, model):
     """Steady-state training throughput with the device-resident window
-    pool (index-only batches; training/loop.py pool mode)."""
+    pool and the shipping multi-step dispatch (K=8 index-batches scanned
+    per launch; training/loop.py steps_per_dispatch)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     from mocodad_tpu.training.loop import Trainer
 
+    K = 8
     trainer = Trainer(cfg, model)
     state = trainer.init_state(steps_per_epoch=10, rng=jax.random.key(0))
-    step = trainer._build_train_step(pool_mode=True)
+    step = trainer._build_train_step(pool_mode=True, steps_per_dispatch=K)
     rs = np.random.RandomState(0)
     pool = jax.device_put(rs.randn(36864, 2, 6, 17).astype(np.float32))
     n = pool.shape[0]
     rng = jax.random.key(0)
 
-    def batch(i):
-        idx = rs.randint(0, n * cfg.num_transform, BATCH)
+    def batches():
+        idx = rs.randint(0, n * cfg.num_transform, (K, BATCH))
         return {'idx': jnp.asarray(idx % n, jnp.int32),
                 'trans': jnp.asarray(idx // n, jnp.int32),
-                'mask': jnp.ones((BATCH,), jnp.float32)}
+                'mask': jnp.ones((K, BATCH), jnp.float32)}
 
     def fence(state):
         # host fetch of one param leaf: each step consumes the previous
@@ -145,14 +147,14 @@ def measure_training(cfg, model):
         # on this transport — see main's plausibility guard.)
         np.asarray(jax.tree_util.tree_leaves(state.params)[0])
 
-    state, _ = step(state, pool, batch(0), rng)
+    state, _ = step(state, pool, batches(), rng)
     fence(state)
     t0 = time.perf_counter()
-    iters = 15
+    iters = 4
     for i in range(iters):
-        state, _ = step(state, pool, batch(i), rng)
+        state, _ = step(state, pool, batches(), rng)
     fence(state)
-    return BATCH * iters / (time.perf_counter() - t0)
+    return BATCH * K * iters / (time.perf_counter() - t0)
 
 
 def main():

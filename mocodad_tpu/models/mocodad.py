@@ -140,6 +140,16 @@ class MoCoDADModel:
         # Layout-optimized eval U-Net (ops/fast_unet.py); numerically
         # equivalent (parity-tested), disable via 'fast_eval: false'.
         self.fast_eval = bool(cfg.extras.get('fast_eval', True))
+        # Reverse-chain scan unrolling knob (re-probe on toolchain bumps).
+        # Measured NEUTRAL end-to-end on this toolchain: an isolated
+        # denoise-chain probe suggested -5..-8% from removing the scan's
+        # per-iteration barrier, but an alternating A/B on the full
+        # generate() (S-fold + assembly + aggregation) reads -1.7/+0.4/
+        # +0.1% across rounds — noise — while full unroll multiplies the
+        # compiled program 9x (tools/perf/probe_scan_unroll.py,
+        # probe_unroll_ab.py).  Default stays 1 ('auto' == 1).
+        su = cfg.extras.get('scan_unroll', 'auto')
+        self.scan_unroll = 1 if su == 'auto' else max(1, int(su))
         self.net = self.build_net()
 
     # -- construction ---------------------------------------------------
@@ -336,7 +346,8 @@ class MoCoDADModel:
             x = c1 * (x - c2 * eps) + c3 * z
             return x, None
 
-        x, _ = jax.lax.scan(step, x0, (ts, z_src))
+        x, _ = jax.lax.scan(step, x0, (ts, z_src),
+                            unroll=self.scan_unroll)
         xs = x.reshape((b, s) + x.shape[1:]).astype(jnp.float32)
         xs = jnp.moveaxis(xs, 1, 0)  # (S, B, ...)
         return aggregate(aggr, self.loss_kind, xs,

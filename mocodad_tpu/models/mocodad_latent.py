@@ -230,6 +230,7 @@ class MoCoDADLatentModel(MoCoDADModel):
             ) + jnp.sqrt(beta) * noise
             return z, None
 
-        z, _ = jax.lax.scan(step, z0, (ts, keys))
+        z, _ = jax.lax.scan(step, z0, (ts, keys),
+                            unroll=self.scan_unroll)
         zs = jnp.moveaxis(z.reshape(b, s, self.latent_embedding_dim), 1, 0)
         return aggregate(aggr, self.loss_kind, zs, latent, rng=r_aggr)

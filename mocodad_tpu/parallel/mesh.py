@@ -44,6 +44,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_grouped_batch(batch: dict, mesh: Mesh,
+                        axis_name: str = 'data') -> dict:
+    """Place (K, B, ...) stacked index-batches (the multi-step-per-dispatch
+    train path) with the SECOND axis — the batch axis — sharded over the
+    mesh; the scan axis K is replicated.  Single-process only (the grouped
+    path is disabled on multi-host meshes, training/loop.py)."""
+    assert jax.process_count() == 1, \
+        'grouped batches are single-process only'
+    sh = NamedSharding(mesh, P(None, axis_name))
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = 'data') -> dict:
     """Place every array in the batch with its leading axis sharded over
     the mesh.  Single-process: a plain sharded device_put.  Multi-process

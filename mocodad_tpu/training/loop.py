@@ -43,6 +43,20 @@ class TrainState:
     step: jnp.ndarray
 
 
+def _group_batches(it, k: int):
+    """Stack k consecutive index-batches into (k, B) arrays for the
+    multi-step-per-dispatch train path; trailing batches (< k at the end
+    of an epoch) pass through ungrouped and run one-per-launch."""
+    buf = []
+    for b in it:
+        buf.append(b)
+        if len(buf) == k:
+            yield {key: np.stack([x[key] for x in buf]) for key in buf[0]}
+            buf = []
+    for b in buf:
+        yield b
+
+
 def monitored_metric_for(cfg: Config):
     """(metric name, mode), mirroring train_MoCoDAD.py:42-50."""
     if cfg.diffusion_on_latent is not None and cfg.stage == 'pretrain':
@@ -153,7 +167,25 @@ class Trainer:
         cap_gb = float(self.cfg.extras.get('device_data_cap_gb', 4.0))
         return ds.data.nbytes <= cap_gb * 1e9
 
-    def _build_train_step(self, pool_mode: bool = False):
+    def steps_per_dispatch(self, pool_mode: bool) -> int:
+        """How many train steps to fuse per jit launch (`steps_per_dispatch`
+        extras key; 'auto' = 8 in single-process pool mode, else 1).
+        Multi-process meshes keep 1: grouped batches would need a
+        second-axis global-array assembly across hosts for marginal gain
+        (DCN dispatch is not tunnel-bound)."""
+        v = self.cfg.extras.get('steps_per_dispatch', 'auto')
+        if v == 'auto':
+            return 8 if (pool_mode and jax.process_count() == 1) else 1
+        k = int(v)
+        if k < 1:
+            raise ValueError(f'steps_per_dispatch must be >= 1, got {k}')
+        if k > 1 and not pool_mode:
+            raise ValueError('steps_per_dispatch > 1 requires the '
+                             'device-resident pool (device_data)')
+        return k
+
+    def _build_train_step(self, pool_mode: bool = False,
+                          steps_per_dispatch: int = 1):
         """Jitted train step.
 
         pool_mode: the window pool lives in HBM (replicated over the
@@ -201,7 +233,21 @@ class Trainer:
                 step=state.step + 1)
             return new_state, metrics
 
-        if pool_mode:
+        if pool_mode and steps_per_dispatch > 1:
+            # K steps per launch: per-launch dispatch latency through the
+            # remote-TPU tunnel (~10 ms under load) is comparable to the
+            # ~14 ms on-device step and cannot be pipelined (each step
+            # consumes the previous state), so scanning K index-batches
+            # inside one jit amortizes it K-fold — measured 106k -> 206k
+            # windows/s at K=8 (tools/perf/probe_train_multistep.py).
+            # The loss trajectory is bit-identical: the per-step key is
+            # fold_in(rng, state.step) inside _step either way.
+            def train_step(state: TrainState, pool, batches, rng):
+                def body(st, b):
+                    return _step(st, pool[b['idx']], b['trans'], b['mask'],
+                                 rng)
+                return jax.lax.scan(body, state, batches)
+        elif pool_mode:
             def train_step(state: TrainState, pool, batch, rng):
                 data = pool[batch['idx']]
                 return _step(state, data, batch['trans'], batch['mask'], rng)
@@ -407,7 +453,12 @@ class Trainer:
             print(f'resumed from {resume} at epoch {start_epoch} '
                   f'(step {int(state.step)})', flush=True)
         use_pool = self._use_device_pool(train_ds)
-        self._train_step = self._build_train_step(pool_mode=use_pool)
+        k_dispatch = self.steps_per_dispatch(use_pool)
+        self._train_step = self._build_train_step(
+            pool_mode=use_pool, steps_per_dispatch=k_dispatch)
+        # trailing (< K) batches of an epoch run one-per-launch
+        tail_step = (self._build_train_step(pool_mode=True)
+                     if k_dispatch > 1 else self._train_step)
         pool_arr = None
         if use_pool:
             pool_arr = jax.device_put(train_ds.data,
@@ -437,27 +488,45 @@ class Trainer:
         for epoch in range(start_epoch, n_epochs):
             epoch_metrics: Dict[str, list] = {}
             t0 = time.time()
-            loader = prefetch(
-                make_loader(train_ds, cfg.batch_size, shuffle=True,
-                            seed=cfg.seed + epoch, yield_indices=use_pool),
-                place=lambda b: shard_batch(b, self.mesh))
+            base = make_loader(train_ds, cfg.batch_size, shuffle=True,
+                               seed=cfg.seed + epoch, yield_indices=use_pool)
+            if k_dispatch > 1:
+                base = _group_batches(base, k_dispatch)
+
+            def _place(b):
+                if b['idx' if use_pool else 'trans'].ndim == 2:
+                    from mocodad_tpu.parallel.mesh import shard_grouped_batch
+                    return shard_grouped_batch(b, self.mesh)
+                return shard_batch(b, self.mesh)
+
+            loader = prefetch(base, place=_place)
+            last_logged = step
             for sb in loader:
-                if use_pool:
+                grouped = use_pool and sb['idx'].ndim == 2
+                if grouped:
                     state, metrics = self._train_step(state, pool_arr, sb,
                                                       rng)
+                    step += int(sb['idx'].shape[0])
+                elif use_pool:
+                    state, metrics = tail_step(state, pool_arr, sb, rng)
+                    step += 1
                 else:
                     state, metrics = self._train_step(state, sb, rng)
-                step += 1
+                    step += 1
                 for k, v in metrics.items():
-                    epoch_metrics.setdefault(k, []).append(v)
-                if step % self._log_every == 0:
-                    vals = {k: float(v) for k, v in metrics.items()}
+                    epoch_metrics.setdefault(k, []).append(
+                        jnp.atleast_1d(v))
+                if step - last_logged >= self._log_every:
+                    last_logged = step
+                    # grouped launches: log the group's latest step
+                    vals = {k: float(jnp.atleast_1d(v)[-1])
+                            for k, v in metrics.items()}
                     line = ' '.join(f'{k}={v:.5f}' for k, v in vals.items())
                     print(f'epoch {epoch} step {step}: {line}', flush=True)
                     log_f.write(f'{epoch},{step},' + ','.join(
                         f'{k}={v}' for k, v in vals.items()) + '\n')
 
-            means = {k: float(jnp.mean(jnp.stack(v)))
+            means = {k: float(jnp.mean(jnp.concatenate(v)))
                      for k, v in epoch_metrics.items()}
             dt = time.time() - t0
             wps = len(train_ds) / dt if dt > 0 else 0.0

@@ -1,5 +1,7 @@
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -194,3 +196,48 @@ def test_old_aug_forces_host_batches(tmp_path):
     assert not Trainer(cfg, mesh=make_mesh(1))._use_device_pool(ds)
     cfg.extras['device_data'] = False
     assert not Trainer(cfg, mesh=make_mesh(1))._use_device_pool(ds)
+
+
+def test_multi_step_dispatch_matches_single(tmp_path):
+    """steps_per_dispatch > 1 (K index-batches scanned inside one launch)
+    must follow the exact same trajectory as one-step-per-launch: the
+    per-step key is fold_in(rng, state.step) inside the jit either way.
+    Covers the non-divisible tail (10 batches/epoch, K=4 -> 2 groups + 2
+    tail launches)."""
+    from mocodad_tpu.data.pipeline import PoseWindows
+    rng = np.random.default_rng(3)
+    ds = PoseWindows(
+        data=rng.normal(size=(320, 2, 6, 17)).astype(np.float32) * 0.1,
+        meta=np.zeros((320, 4), np.int64),
+        frames=np.tile(np.arange(1, 7, dtype=np.int32), (320, 1)),
+        num_transform=2)
+
+    cfg_1 = _tiny_cfg(tmp_path / 'k1', num_transform=2)
+    cfg_1.extras['device_data'] = True
+    cfg_1.extras['steps_per_dispatch'] = 1
+    one = Trainer(cfg_1, mesh=make_mesh(2)).fit(ds, n_epochs=2)
+
+    cfg_k = _tiny_cfg(tmp_path / 'k4', num_transform=2)
+    cfg_k.extras['device_data'] = True
+    cfg_k.extras['steps_per_dispatch'] = 4
+    multi = Trainer(cfg_k, mesh=make_mesh(2)).fit(ds, n_epochs=2)
+
+    assert int(one.step) == int(multi.step) == 2 * 10
+    for x, y in zip(jax.tree_util.tree_leaves(one.params),
+                    jax.tree_util.tree_leaves(multi.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_steps_per_dispatch_validation(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg.extras['steps_per_dispatch'] = 0
+    with pytest.raises(ValueError):
+        Trainer(cfg, mesh=make_mesh(1)).steps_per_dispatch(True)
+    cfg.extras['steps_per_dispatch'] = 4
+    with pytest.raises(ValueError):
+        Trainer(cfg, mesh=make_mesh(1)).steps_per_dispatch(False)
+    cfg.extras['steps_per_dispatch'] = 'auto'
+    t = Trainer(cfg, mesh=make_mesh(1))
+    assert t.steps_per_dispatch(True) == 8
+    assert t.steps_per_dispatch(False) == 1

@@ -60,6 +60,7 @@ def main():
     per1 = (time.perf_counter() - t0) / iters
     print(f'1 step/dispatch : {per1 * 1e3:.2f} ms/step '
           f'({BATCH / per1:.0f} w/s)', flush=True)
+    state = s  # the original `state` was donated into the first step
 
     # ---- K steps per dispatch via lax.scan ------------------------------
     for K in (4, 8, 16):
@@ -83,6 +84,7 @@ def main():
         per = (time.perf_counter() - t0) / (n * K)
         print(f'{K:2d} steps/dispatch: {per * 1e3:.2f} ms/step '
               f'({BATCH / per:.0f} w/s)', flush=True)
+        state = s  # donated chains: carry the live state forward
 
 
 if __name__ == '__main__':
