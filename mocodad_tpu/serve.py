@@ -154,9 +154,12 @@ class StreamScorer:
         tr = self._tracks[(scene, clip, person)]
         tr.frames.append(int(frame))
         tr.coords.append(kp)
-        if len(tr.frames) >= self.seg_len:
-            start = len(tr.frames) - self.seg_len
-            self._enqueue_window(scene, clip, person, tr, start)
+        # only the trailing window is ever needed: bound per-track memory
+        # for long-running streams
+        if len(tr.frames) > self.seg_len:
+            del tr.frames[0], tr.coords[0]
+        if len(tr.frames) == self.seg_len:
+            self._enqueue_window(scene, clip, person, tr, 0)
         if (self.flush_every is not None
                 and len(self._q_data) >= self.flush_every):
             self.flush()
