@@ -83,6 +83,17 @@ class StreamScorer:
             raise NotImplementedError(
                 'StreamScorer normalizes via the robust CSV path; '
                 f'got normalization_strategy={cfg.normalization_strategy!r}')
+        if cfg.use_hr or cfg.dataset_choice == 'HR-Avenue':
+            # Offline HR evaluation subsets each clip's frames by a gt-side
+            # human-related mask BEFORE smoothing (eval/harness.py:
+            # post_processing), which changes the smoothing neighborhoods
+            # and the output length — an offline-evaluation construct, not
+            # a serving one.  Streaming scores the full timeline; keep the
+            # offline-exactness claim honest by refusing HR configs.
+            raise NotImplementedError(
+                'StreamScorer scores the full frame timeline; HR-masked '
+                'evaluation (use_hr / HR-Avenue) is offline-only — run '
+                'eval_MoCoDAD.py for HR-masked scores')
 
         self.cfg = cfg
         self.model = build_model(cfg)
@@ -162,7 +173,10 @@ class StreamScorer:
             self._enqueue_window(scene, clip, person, tr, 0)
         if (self.flush_every is not None
                 and len(self._q_data) >= self.flush_every):
-            self.flush()
+            # latency knob: run as soon as flush_every windows pend, even
+            # if that pads a partial batch to the static shape (when
+            # flush_every < batch_size, trading wasted rows for latency)
+            self.flush(force=True)
 
     def _enqueue_window(self, scene: int, clip: int, person: int,
                         tr: _Track, start: int) -> None:

@@ -182,6 +182,12 @@ class Trainer:
         if k > 1 and not pool_mode:
             raise ValueError('steps_per_dispatch > 1 requires the '
                              'device-resident pool (device_data)')
+        if k > 1 and jax.process_count() > 1:
+            raise ValueError(
+                'steps_per_dispatch > 1 is single-process only: grouped '
+                '(K, B) batches would need a second-axis global-array '
+                'assembly across hosts, and DCN dispatch is not '
+                'tunnel-bound (see parallel/mesh.py shard_grouped_batch)')
         return k
 
     def _build_train_step(self, pool_mode: bool = False,
@@ -514,8 +520,9 @@ class Trainer:
                     state, metrics = self._train_step(state, sb, rng)
                     step += 1
                 for k, v in metrics.items():
-                    epoch_metrics.setdefault(k, []).append(
-                        jnp.atleast_1d(v))
+                    # append raw device values: any per-step host-side jnp
+                    # op would issue an eager dispatch between train steps
+                    epoch_metrics.setdefault(k, []).append(v)
                 if step - last_logged >= self._log_every:
                     last_logged = step
                     # grouped launches: log the group's latest step
@@ -526,7 +533,8 @@ class Trainer:
                     log_f.write(f'{epoch},{step},' + ','.join(
                         f'{k}={v}' for k, v in vals.items()) + '\n')
 
-            means = {k: float(jnp.mean(jnp.concatenate(v)))
+            means = {k: float(jnp.mean(jnp.concatenate(
+                         [jnp.atleast_1d(x) for x in v])))
                      for k, v in epoch_metrics.items()}
             dt = time.time() - t0
             wps = len(train_ds) / dt if dt > 0 else 0.0
