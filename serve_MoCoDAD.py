@@ -33,7 +33,15 @@ def serve(cfg, fin, fout, batch_size: int, flush_every):
         line = line.strip()
         if not line:
             continue
-        msg = json.loads(line)
+        try:
+            msg = json.loads(line)
+            if not isinstance(msg, dict):
+                raise ValueError('message must be a JSON object')
+        except ValueError as e:
+            # a long-running service must survive malformed input lines
+            print(f'skipping malformed line ({e}): {line[:120]}',
+                  file=sys.stderr)
+            continue
         kind = msg.get('type')
         if kind == 'pose':
             scorer.push(int(msg['scene']), int(msg['clip']),

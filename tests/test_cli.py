@@ -146,6 +146,8 @@ def test_serve_cli_streams_scores(workspace):
                 'keypoints': t.coordinates[i].reshape(-1, 2).tolist()}))
     gt = np.load(os.path.join(serve_cfg['test_path'],
                               f'{scene_clip[0]}_{scene_clip[1]}.npy'))
+    lines.append('{not json')       # malformed lines must not kill the service
+    lines.append('"just a string"')
     lines.append(json.dumps({'type': 'end_clip', 'scene': scene_clip[0],
                              'clip': scene_clip[1],
                              'n_frames': int(gt.shape[0])}))
