@@ -32,6 +32,15 @@ from mocodad_tpu.models.losses import aggregate, elementwise_loss
 from mocodad_tpu.nn import STSAE, STSE, STSAEUnet, STSEUnet
 
 
+def _mirror_fold(z_half: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(B, ceil(S/2), ...) independent gaussians -> (S*B, ...) b-major
+    sample fold where each window's samples are [z_0..z_{h-1},
+    -z_0..-z_{s-h-1}] (antithetic pairs)."""
+    b, h = z_half.shape[:2]
+    z = jnp.concatenate([z_half, -z_half[:, :s - h]], axis=1)
+    return z.reshape((s * b,) + z_half.shape[2:])
+
+
 class MoCoDADNet(nn.Module):
     """Flax container bundling the condition encoder and the main U-Net so
     the whole model is one variables pytree (ref `build_model`,
@@ -150,6 +159,13 @@ class MoCoDADModel:
         # probe_unroll_ab.py).  Default stays 1 ('auto' == 1).
         su = cfg.extras.get('scan_unroll', 'auto')
         self.scan_unroll = 1 if su == 'auto' else max(1, int(su))
+        # Antithetic sampling (opt-in, framework extension): draw half the
+        # gaussians and mirror them per window (pairs (z, -z) for x0 and
+        # every step injection), a classic variance-reduction trick — the
+        # min/best aggregation then covers the noise space more evenly per
+        # sample, letting fewer generations match the AUC of more
+        # independent ones (study: PERF_NOTES.md "Antithetic sampling").
+        self.antithetic = bool(cfg.extras.get('antithetic', False))
         self.net = self.build_net()
 
     # -- construction ---------------------------------------------------
@@ -314,10 +330,17 @@ class MoCoDADModel:
         corrupt_shape = (s * b, self.num_coords, self.n_frames_corrupt,
                          self.n_joints)
         ts = jnp.arange(self.schedule.noise_steps - 1, 0, -1)
+        antithetic = self.antithetic and s > 1 and noise_override is None
         if noise_override is not None:
             x0, z_src = noise_override
             x0 = jnp.asarray(x0, dtype=data.dtype)
             z_src = jnp.asarray(z_src, dtype=data.dtype)
+        elif antithetic:
+            x0 = _mirror_fold(
+                jax.random.normal(
+                    r_init, (b, (s + 1) // 2) + corrupt_shape[1:],
+                    dtype=data.dtype), s)
+            z_src = jax.random.split(r_steps, ts.shape[0])
         else:
             x0 = jax.random.normal(r_init, corrupt_shape, dtype=data.dtype)
             z_src = jax.random.split(r_steps, ts.shape[0])
@@ -340,8 +363,13 @@ class MoCoDADModel:
             c1 = (1.0 / jnp.sqrt(a)).astype(x.dtype)
             c2 = ((1.0 - a) / jnp.sqrt(1.0 - a_hat)).astype(x.dtype)
             c3 = jnp.sqrt(beta).astype(x.dtype)
-            z = (z_in if noise_override is not None else
-                 jax.random.normal(z_in, x.shape, dtype=x.dtype))
+            if noise_override is not None:
+                z = z_in
+            elif antithetic:
+                z = _mirror_fold(jax.random.normal(
+                    z_in, (b, (s + 1) // 2) + x.shape[1:], dtype=x.dtype), s)
+            else:
+                z = jax.random.normal(z_in, x.shape, dtype=x.dtype)
             z = jnp.where(t_scalar > 1, z, jnp.zeros_like(z))
             x = c1 * (x - c2 * eps) + c3 * z
             return x, None

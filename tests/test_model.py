@@ -190,3 +190,44 @@ def test_model_works_for_alternate_joint_counts(kw, v, check):
     else:
         sel, l = model.generate(variables, data, jax.random.key(3))
         assert sel.shape == (4, 2, 3, v)
+
+
+def test_mirror_fold_layout():
+    """Antithetic fold: b-major rows, second half of each window's samples
+    are the negated first half (odd S keeps the unpaired draw)."""
+    from mocodad_tpu.models.mocodad import _mirror_fold
+    b, s = 3, 4
+    z_half = jnp.arange(b * 2 * 5, dtype=jnp.float32).reshape(b, 2, 5) + 1.0
+    out = np.asarray(_mirror_fold(z_half, s))
+    assert out.shape == (s * b, 5)
+    for w in range(b):
+        np.testing.assert_array_equal(out[w * s + 0], z_half[w, 0])
+        np.testing.assert_array_equal(out[w * s + 1], z_half[w, 1])
+        np.testing.assert_array_equal(out[w * s + 2], -z_half[w, 0])
+        np.testing.assert_array_equal(out[w * s + 3], -z_half[w, 1])
+
+    out5 = np.asarray(_mirror_fold(
+        jnp.ones((b, 3, 5), jnp.float32), 5))
+    assert out5.shape == (5 * b, 5)
+    np.testing.assert_array_equal(out5[3:5], -np.ones((2, 5)))
+
+
+def test_antithetic_generate_smoke():
+    cfg = _cfg(channels=[8, 4, 8], embedding_dim=8, h_dim=8, latent_dim=8,
+               noise_steps=5, n_generated_samples=4)
+    cfg.extras['antithetic'] = True
+    model = MoCoDADModel(cfg)
+    variables = model.init_variables(jax.random.key(0))
+    data = jax.random.normal(jax.random.key(1), (8, 2, 6, 17)) * 0.1
+    _, loss = jax.jit(lambda v, d, r: model.generate(v, d, r))(
+        variables, data, jax.random.key(2))
+    loss = np.asarray(loss)
+    assert loss.shape == (8,) and np.isfinite(loss).all()
+
+    cfg2 = _cfg(channels=[8, 4, 8], embedding_dim=8, h_dim=8, latent_dim=8,
+                noise_steps=5, n_generated_samples=4)
+    model2 = MoCoDADModel(cfg2)
+    _, loss2 = jax.jit(lambda v, d, r: model2.generate(v, d, r))(
+        variables, data, jax.random.key(2))
+    # same rng, different sampling scheme -> different losses
+    assert not np.allclose(loss, np.asarray(loss2))
