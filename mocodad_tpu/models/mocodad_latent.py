@@ -210,8 +210,16 @@ class MoCoDADLatentModel(MoCoDADModel):
                                 method=MoCoDADLatentNet.encode_input)
         # b-major sample fold (see MoCoDADModel.generate)
         emb_tiled = jnp.repeat(cond_emb, s, axis=0)
-        z0 = jax.random.normal(r_init, (s * b, self.latent_embedding_dim),
-                               dtype=latent.dtype)
+        antithetic = self.antithetic and s > 1
+        if antithetic:
+            from mocodad_tpu.models.mocodad import _mirror_fold
+            z0 = _mirror_fold(jax.random.normal(
+                r_init, (b, (s + 1) // 2, self.latent_embedding_dim),
+                dtype=latent.dtype), s)
+        else:
+            z0 = jax.random.normal(r_init,
+                                   (s * b, self.latent_embedding_dim),
+                                   dtype=latent.dtype)
         ts = jnp.arange(self.schedule.noise_steps - 1, 0, -1)
         keys = jax.random.split(r_steps, ts.shape[0])
 
@@ -223,7 +231,12 @@ class MoCoDADLatentModel(MoCoDADModel):
             a = coef(self.schedule.alpha, t_scalar)
             a_hat = coef(self.schedule.alpha_hat, t_scalar)
             beta = coef(self.schedule.beta, t_scalar)
-            noise = jax.random.normal(key, z.shape, dtype=z.dtype)
+            if antithetic:
+                from mocodad_tpu.models.mocodad import _mirror_fold
+                noise = _mirror_fold(jax.random.normal(
+                    key, (b, (s + 1) // 2, z.shape[-1]), dtype=z.dtype), s)
+            else:
+                noise = jax.random.normal(key, z.shape, dtype=z.dtype)
             noise = jnp.where(t_scalar > 1, noise, jnp.zeros_like(noise))
             z = (1.0 / jnp.sqrt(a)) * (
                 z - ((1.0 - a) / jnp.sqrt(1.0 - a_hat)) * eps

@@ -231,3 +231,15 @@ def test_antithetic_generate_smoke():
         variables, data, jax.random.key(2))
     # same rng, different sampling scheme -> different losses
     assert not np.allclose(loss, np.asarray(loss2))
+
+
+def test_antithetic_latent_generate_smoke():
+    cfg = _cfg(diffusion_on_latent=True, stage='diffusion',
+               latent_embedding_dim=64, hidden_sizes=[64, 128, 128, 64])
+    cfg.extras['antithetic'] = True
+    model = MoCoDADLatentModel(cfg)
+    variables = model.init_variables(jax.random.key(0))
+    data = jax.random.normal(jax.random.key(1), (4, 2, 6, 17))
+    sel, loss = model.generate(variables, data, jax.random.key(3))
+    assert sel.shape == (4, 64)
+    assert loss.shape == (4,) and np.isfinite(np.asarray(loss)).all()
