@@ -162,18 +162,14 @@ def main():
     import jax
     from mocodad_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache(os.environ['JAX_COMPILATION_CACHE_DIR'])
-    from mocodad_tpu.config import Config
     from mocodad_tpu.models import MoCoDADModel
     from mocodad_tpu.ops.roofline import (HBM_BYTES_PER_S, PEAK_BF16_FLOPS,
                                           unet_cost)
 
-    cfg = Config(
-        conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
-        conditioning_architecture='AE', channels=[32, 16, 32],
-        embedding_dim=16, h_dim=32, latent_dim=16, dropout=0.0,
-        seg_len=6, num_coords=2, noise_steps=NOISE_STEPS,
-        n_generated_samples=N_GENERATED, aggregation_strategy='best',
-        batch_size=BATCH, seed=0)
+    from mocodad_tpu.config import flagship_config
+    cfg = flagship_config(noise_steps=NOISE_STEPS,
+                          n_generated_samples=N_GENERATED,
+                          batch_size=BATCH)
     # measured fastest correct configuration on v5e (see PERF_NOTES.md)
     cfg.extras['eval_dtype'] = 'bfloat16'
     cfg.extras['fast_eval'] = True

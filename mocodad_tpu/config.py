@@ -282,3 +282,20 @@ def copy_config_to_ckpt_dir(cfg: Config, config_path: str) -> None:
         dst = os.path.join(cfg.ckpt_dir, 'config.yaml')
         if os.path.abspath(config_path) != os.path.abspath(dst):
             shutil.copyfile(config_path, dst)
+
+
+def flagship_config(**overrides) -> Config:
+    """The flagship model architecture (UBnormal inject/AE — the paper's
+    headline configuration, config/UBnormal/mocodad_train.yaml): ONE
+    shared definition for bench.py, the driver entry points, the perf
+    probes, and guard tests, so they all measure the same network.
+    Scale knobs (batch size, sample count, transforms) come from Config
+    defaults unless overridden."""
+    base = dict(
+        conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
+        conditioning_architecture='AE', channels=[32, 16, 32],
+        embedding_dim=16, h_dim=32, latent_dim=16, dropout=0.0,
+        seg_len=6, num_coords=2, noise_steps=10,
+        aggregation_strategy='best', seed=0)
+    base.update(overrides)
+    return Config(**base)

@@ -74,7 +74,8 @@ def restore_variables(path: str, template_variables: Dict,
     (PyTorch/Lightning) checkpoint (ref eval_MoCoDAD.py:32-38)."""
     if is_torch_checkpoint(path):
         from mocodad_tpu.utils.torch_compat import load_torch_checkpoint
-        return load_torch_checkpoint(path, template_variables, strict=False)
+        return load_torch_checkpoint(path, template_variables, strict=False,
+                                     use_ema=use_ema)
     raw = load_state_dict(path)
     params_src = raw.get('ema_params' if use_ema and raw.get('ema_params')
                          else 'params', raw)

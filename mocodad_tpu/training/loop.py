@@ -155,15 +155,24 @@ class Trainer:
         mode = self.cfg.extras.get('device_data', 'auto')
         if isinstance(mode, str):
             mode = mode.strip().lower()
-        if mode in (False, 'false', 'off', 'no', '0', 0):
-            return False
-        if ds.old_aug:
-            return False
-        if mode in (True, 'true', 'on', 'yes', '1', 1):
-            return True
-        if mode != 'auto':
+        truthy = mode in (True, 'true', 'on', 'yes', '1', 1)
+        falsy = mode in (False, 'false', 'off', 'no', '0', 0)
+        if not (truthy or falsy or mode == 'auto'):
             raise ValueError(f'device_data must be auto/true/false, '
                              f'got {mode!r}')
+        if falsy:
+            return False
+        if ds.old_aug:
+            if truthy:
+                # an explicit request that silently degrades to host
+                # batches would hide a 5-10x throughput loss
+                raise ValueError(
+                    'device_data: true is incompatible with the old_aug '
+                    'dataset path (per-item host-side random crops need '
+                    'materialized batches)')
+            return False
+        if truthy:
+            return True
         cap_gb = float(self.cfg.extras.get('device_data_cap_gb', 4.0))
         return ds.data.nbytes <= cap_gb * 1e9
 
@@ -366,8 +375,14 @@ class Trainer:
         # every launch against a device->host fetch).  Per-batch results
         # are small ((B,) losses, optionally (B,C,Tc,V) poses), so holding
         # them all is cheap next to the window pool itself.
-        pending = []  # (loss_dev, pose_dev, host_batch)
+        pending = []  # (loss_dev, pose_dev, host_batch_metadata)
+        keep = ('mask', 'trans', 'meta', 'frames')
         for i, (batch, sb) in enumerate(loader):
+            # retain only the strip/meta fields: holding the full host
+            # batch would keep every (B, C, T, V) 'data' array alive for
+            # the whole pass (~num_transform x dataset bytes in host-batch
+            # mode) when each is only needed for its launch
+            batch = {k: batch[k] for k in keep}
             if use_pool:
                 loss, pose = step_fn(model_vars, pool, sb, rng, i)
             else:

@@ -27,11 +27,17 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
                  or os.environ.get('MOCODAD_COMPILATION_CACHE_DIR')
                  or os.environ.get('JAX_COMPILATION_CACHE_DIR')
                  or _DEFAULT_CACHE_DIR)
+    import jax
     if str(cache_dir).strip().lower() in ('0', 'off', 'false', 'none', ''):
+        # actively disable: JAX natively honors an exported
+        # JAX_COMPILATION_CACHE_DIR, so returning early would leave the
+        # cache on despite the documented =0 disable
+        jax.config.update('jax_enable_compilation_cache', False)
         return None
     cache_dir = os.path.expanduser(cache_dir)
-    import jax
     jax.config.update('jax_compilation_cache_dir', cache_dir)
-    # skip trivially-fast programs: writing them costs more than re-tracing
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    # skip trivially-fast programs (writing them costs more than
+    # re-tracing) — unless the user pinned their own threshold
+    if 'JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS' not in os.environ:
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
     return cache_dir

@@ -328,17 +328,38 @@ def export_torch_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
 
 
 def load_torch_checkpoint(path: str, template_variables: Dict,
-                          strict: bool = True) -> Dict:
+                          strict: bool = True,
+                          use_ema: bool = False) -> Dict:
     """Load a reference .ckpt/.pt file into a flax variables tree matching
     `template_variables` (shapes validated leaf by leaf).
 
     Accepts Lightning checkpoints ({'state_dict': ...}) and bare module
     state dicts (ref eval_MoCoDAD.py:32-38 consumes the former).
+
+    use_ema: load the EMA shadow weights instead of the raw ones — from
+    the reference EMACallback's separate 'state_dict_ema' payload
+    (ref utils/ema.py:66-72) when present, else from embedded
+    'model_ema.module.*' keys; falls back to raw weights with a warning
+    when the checkpoint carries no EMA copy.
     """
     import torch  # CPU-only usage; baked into the image
 
     raw = torch.load(path, map_location='cpu', weights_only=False)
     sd = raw.get('state_dict', raw) if isinstance(raw, dict) else raw
+    if use_ema:
+        if isinstance(raw, dict) and raw.get('state_dict_ema'):
+            sd = raw['state_dict_ema']
+        else:
+            prefix = 'model_ema.module.'
+            ema = {k[len(prefix):]: v for k, v in sd.items()
+                   if k.startswith(prefix)}
+            if ema:
+                sd = ema
+            else:
+                import sys
+                print('WARNING: use_ema requested but the torch checkpoint '
+                      'carries no EMA payload; loading raw weights',
+                      file=sys.stderr)
     conv = convert_torch_state_dict(sd)
     if strict and conv['_unmapped']:
         raise ValueError(f'unmapped torch keys: {conv["_unmapped"][:10]}')

@@ -13,21 +13,16 @@ import jax
 import numpy as np
 import pytest
 
-from mocodad_tpu.config import Config
 from mocodad_tpu.parallel import make_mesh
 from mocodad_tpu.training.loop import Trainer
 
 
 def _flagship_cfg(**kw):
-    base = dict(
-        conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
-        conditioning_architecture='AE', channels=[32, 16, 32],
-        embedding_dim=16, h_dim=32, latent_dim=16, dropout=0.0,
-        seg_len=6, num_coords=2, noise_steps=10, n_generated_samples=3,
-        aggregation_strategy='best', batch_size=16, num_transform=2,
-        opt_lr=1e-3, seed=0, use_ema=True)
+    from mocodad_tpu.config import flagship_config
+    base = dict(n_generated_samples=3, batch_size=16, num_transform=2,
+                use_ema=True)
     base.update(kw)
-    return Config(**base)
+    return flagship_config(**base)
 
 
 def _device_consts(closed_jaxpr):

@@ -283,3 +283,63 @@ def test_map_torch_key_ignores_bookkeeping():
     assert map_torch_key('model.st_gcnnsd1.0.tcn.1.num_batches_tracked',
                          np.zeros(())) is None
     assert map_torch_key('some_other_root.weight', np.zeros((2, 2))) is None
+
+
+def test_ema_payload_loading(tmp_path):
+    """use_ema selects the EMA shadow weights from a torch checkpoint —
+    from the reference EMACallback's separate 'state_dict_ema' payload
+    (ref utils/ema.py:66-72), or from embedded 'model_ema.module.*' keys;
+    raw weights load otherwise (with a warning, not silently)."""
+    model = MoCoDADModel(_flagship_cfg())
+    variables = model.init_variables(jax.random.key(4))
+    # "EMA" copy: every leaf shifted by +1 so the source is identifiable
+    ema_vars = jax.tree_util.tree_map(lambda x: x + 1.0, variables)
+
+    raw_sd = {k: torch.from_numpy(np.array(v, copy=True))
+              for k, v in export_torch_state_dict(
+                  jax.device_get(variables)).items()}
+    ema_sd = {k: torch.from_numpy(np.array(v, copy=True))
+              for k, v in export_torch_state_dict(
+                  jax.device_get(ema_vars)).items()}
+
+    # (a) separate payload, the reference's on-disk shape
+    p1 = str(tmp_path / 'sep.ckpt')
+    torch.save({'state_dict': raw_sd, 'state_dict_ema': ema_sd}, p1)
+    got = load_torch_checkpoint(p1, variables, strict=True, use_ema=True)
+    for a, b in zip(jax.tree_util.tree_leaves(ema_vars),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    got_raw = load_torch_checkpoint(p1, variables, strict=True)
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(got_raw)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (b) embedded model_ema.module.* keys in one state dict
+    both = dict(raw_sd)
+    both.update({f'model_ema.module.{k}': v for k, v in ema_sd.items()})
+    p2 = str(tmp_path / 'emb.ckpt')
+    torch.save({'state_dict': both}, p2)
+    got2 = load_torch_checkpoint(p2, variables, strict=True, use_ema=True)
+    for a, b in zip(jax.tree_util.tree_leaves(ema_vars),
+                    jax.tree_util.tree_leaves(got2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # raw load of the same file stays deterministic: raw weights win
+    got2_raw = load_torch_checkpoint(p2, variables, strict=True)
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(got2_raw)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (c) no EMA copy anywhere: falls back to raw weights
+    p3 = str(tmp_path / 'raw.ckpt')
+    torch.save({'state_dict': raw_sd}, p3)
+    got3 = load_torch_checkpoint(p3, variables, strict=True, use_ema=True)
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(got3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # restore_variables plumbs use_ema through for torch files
+    from mocodad_tpu.training.checkpoint import restore_variables
+    auto = restore_variables(p1, variables, use_ema=True)
+    for a, b in zip(jax.tree_util.tree_leaves(ema_vars['params']),
+                    jax.tree_util.tree_leaves(auto['params'])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

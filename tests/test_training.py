@@ -196,6 +196,14 @@ def test_old_aug_forces_host_batches(tmp_path):
     assert not Trainer(cfg, mesh=make_mesh(1))._use_device_pool(ds)
     cfg.extras['device_data'] = False
     assert not Trainer(cfg, mesh=make_mesh(1))._use_device_pool(ds)
+    # an explicit request that can't be honored must fail loudly, not
+    # silently degrade to host batches
+    cfg.extras['device_data'] = True
+    with pytest.raises(ValueError):
+        Trainer(cfg, mesh=make_mesh(1))._use_device_pool(ds)
+    cfg.extras['device_data'] = 'ture'  # typos surface even with old_aug
+    with pytest.raises(ValueError):
+        Trainer(cfg, mesh=make_mesh(1))._use_device_pool(ds)
 
 
 def test_multi_step_dispatch_matches_single(tmp_path):

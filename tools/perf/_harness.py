@@ -16,7 +16,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import jax
 import jax.numpy as jnp
 
-from mocodad_tpu.config import Config
 from mocodad_tpu.models import MoCoDADModel
 from mocodad_tpu.ops.fast_unet import build_fast_denoiser
 
@@ -24,15 +23,10 @@ N = 51200
 
 
 def flagship_config(**kw):
-    base = dict(conditioning_strategy='inject',
-                conditioning_indices=[0, 1, 2],
-                conditioning_architecture='AE', channels=[32, 16, 32],
-                embedding_dim=16, h_dim=32, latent_dim=16, dropout=0.0,
-                seg_len=6, num_coords=2, noise_steps=10,
-                n_generated_samples=50, aggregation_strategy='best',
-                batch_size=1024, seed=0)
+    from mocodad_tpu.config import flagship_config as _flagship
+    base = dict(n_generated_samples=50, batch_size=1024)
     base.update(kw)
-    return Config(**base)
+    return _flagship(**base)
 
 
 def build_forward(n=N):
