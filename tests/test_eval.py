@@ -197,3 +197,28 @@ def test_compute_fig_matrix():
     assert np.all(m[0, 3:] == 0)
     np.testing.assert_array_equal(m[1, 4:7],
                                   pos[1].transpose(1, 2, 0).reshape(3, 8))
+
+
+def test_load_tensors_reads_reference_pt_caches(tmp_path):
+    """The reference writes its saved-tensor cache as torch .pt files
+    (ref models/mocodad.py:583-603); load_tensors must read those
+    directly so its caches replay here unchanged."""
+    import torch
+
+    from mocodad_tpu.utils.tensors import load_tensors, tensors_dir
+
+    d = tensors_dir(str(tmp_path), 'test', 'best', 5)
+    os.makedirs(d)
+    rng = np.random.default_rng(0)
+    want = {'prediction': rng.gamma(1.0, 1.0, 32).astype(np.float32),
+            'gt_data': rng.normal(size=(32, 2, 6, 17)).astype(np.float32),
+            'trans': np.zeros(32, np.int64),
+            'metadata': np.zeros((32, 4), np.int64),
+            'frames': np.tile(np.arange(1, 7), (32, 1))}
+    for name, arr in want.items():
+        torch.save(torch.from_numpy(arr), os.path.join(d, name + '.pt'))
+
+    got = load_tensors(str(tmp_path), 'test', 'best', 5)
+    assert set(got) == set(want)
+    for name in want:
+        np.testing.assert_array_equal(got[name], want[name])
