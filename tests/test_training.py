@@ -249,3 +249,73 @@ def test_steps_per_dispatch_validation(tmp_path):
     t = Trainer(cfg, mesh=make_mesh(1))
     assert t.steps_per_dispatch(True) == 8
     assert t.steps_per_dispatch(False) == 1
+
+
+def test_wandb_mirror_with_stub(tmp_path, monkeypatch):
+    """The wandb mirror (init / per-epoch log / log_model artifact upload,
+    ref train_MoCoDAD.py:57-62) exercised via a stub module — the real
+    package is absent in this image, so this is the branch's only
+    coverage."""
+    import sys
+    import types
+
+    from mocodad_tpu.data.pipeline import PoseWindows
+
+    calls = {'init': [], 'log': [], 'artifacts': []}
+
+    class _Run:
+        def log(self, means, step=None):
+            calls['log'].append((dict(means), step))
+
+        def log_artifact(self, art):
+            calls['artifacts'].append(art)
+
+    class _Artifact:
+        def __init__(self, name, type=None):
+            self.name, self.type = name, type
+            self.files = []
+
+        def add_file(self, path):
+            assert os.path.exists(path), path
+            self.files.append(path)
+
+    stub = types.ModuleType('wandb')
+    stub.init = lambda **kw: (calls['init'].append(kw), _Run())[1]
+    stub.Artifact = _Artifact
+    monkeypatch.setitem(sys.modules, 'wandb', stub)
+
+    rng = np.random.default_rng(4)
+    ds = PoseWindows(
+        data=rng.normal(size=(64, 2, 6, 17)).astype(np.float32) * 0.1,
+        meta=np.zeros((64, 4), np.int64),
+        frames=np.tile(np.arange(1, 7, dtype=np.int32), (64, 1)),
+        num_transform=1)
+    cfg = _tiny_cfg(tmp_path, use_wandb=True, project_name='p',
+                    group_name='g', dir_name='run')
+    cfg.extras['log_model'] = True
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    trainer.fit(ds, n_epochs=2)
+
+    assert calls['init'] and calls['init'][0]['project'] == 'p'
+    assert len(calls['log']) == 2 and 'loss_noise' in calls['log'][0][0]
+    # log_model mirrors the checkpoint artifact each epoch
+    assert len(calls['artifacts']) == 2
+    assert calls['artifacts'][0].files[0].endswith('last.ckpt')
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """profile_dir -> jax.profiler trace of the first epoch (SURVEY §5
+    tracing row)."""
+    from mocodad_tpu.data.pipeline import PoseWindows
+    rng = np.random.default_rng(5)
+    ds = PoseWindows(
+        data=rng.normal(size=(64, 2, 6, 17)).astype(np.float32) * 0.1,
+        meta=np.zeros((64, 4), np.int64),
+        frames=np.tile(np.arange(1, 7, dtype=np.int32), (64, 1)),
+        num_transform=1)
+    cfg = _tiny_cfg(tmp_path)
+    prof = str(tmp_path / 'trace')
+    cfg.extras['profile_dir'] = prof
+    Trainer(cfg, mesh=make_mesh(1)).fit(ds, n_epochs=1)
+    found = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+    assert found, 'no profiler trace written'
