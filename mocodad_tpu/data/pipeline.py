@@ -72,10 +72,12 @@ def build_dataset(cfg: Config, split: str = 'train') -> PoseWindows:
             kp18_format=cfg.kp18_format, headless=cfg.headless,
             scaler=scaler, vid_res=cfg.vid_res, symm_range=cfg.symm_range,
             hip_center=cfg.hip_center, sub_mean=False, return_mean=False)
-        if (cfg.normalization_strategy == 'robust' and scaler is None
-                and artifact is not None):
-            from mocodad_tpu.data.scalers import save_scaler
-            save_scaler(artifact, os.path.join(cfg.ckpt_dir, 'robust.npz'))
+        # NOTE: no scaler artifact is persisted on this branch.  The
+        # robust strategy always routes to the CSV path above (mirroring
+        # the reference's dispatch, utils/dataset.py:309-312), so the
+        # JSON path's robust-scaler save (ref utils/dataset.py:181-182)
+        # is unreachable in the reference too; `use_fitted_scaler` exists
+        # for externally-provided robust.npz files.
 
     # keep only the modeled coordinate channels (ref: utils/dataset.py:75)
     data = data[:, :cfg.num_coords]

@@ -83,6 +83,15 @@ class StreamScorer:
             raise NotImplementedError(
                 'StreamScorer normalizes via the robust CSV path; '
                 f'got normalization_strategy={cfg.normalization_strategy!r}')
+        if cfg.aggregation_strategy == 'all':
+            # 'all' yields a (B, S) per-sample loss matrix; the scoring
+            # chain needs one scalar per window (the offline path rejects
+            # this too, eval/harness.py post_processing) — fail before any
+            # inference cost is paid
+            raise ValueError(
+                "aggregation_strategy 'all' produces per-sample loss "
+                'vectors; StreamScorer needs a scalar-per-window strategy '
+                "(e.g. 'best', 'mean')")
         if cfg.use_hr or cfg.dataset_choice == 'HR-Avenue':
             # Offline HR evaluation subsets each clip's frames by a gt-side
             # human-related mask BEFORE smoothing (eval/harness.py:

@@ -77,6 +77,10 @@ def restore_variables(path: str, template_variables: Dict,
         return load_torch_checkpoint(path, template_variables, strict=False,
                                      use_ema=use_ema)
     raw = load_state_dict(path)
+    if use_ema and not raw.get('ema_params'):
+        import sys
+        print(f'WARNING: use_ema requested but {path} carries no '
+              'ema_params; loading raw weights', file=sys.stderr)
     params_src = raw.get('ema_params' if use_ema and raw.get('ema_params')
                          else 'params', raw)
     params = ser.from_state_dict(template_variables['params'], params_src)

@@ -117,7 +117,8 @@ class Trainer:
         batch_stats = variables.get('batch_stats', {})
 
         if getattr(self.model, 'stage', None) == 'diffusion':
-            params = self._load_pretrained_into(params)
+            params, batch_stats = self._load_pretrained_into(params,
+                                                             batch_stats)
 
         opt, _ = self.make_optimizer(steps_per_epoch)
         self._opt = opt
@@ -133,15 +134,21 @@ class Trainer:
         # compiles with the same shardings as every later one
         return jax.device_put(state, replicated_sharding(self.mesh))
 
-    def _load_pretrained_into(self, params):
-        """Latent diffusion stage: transfer matching weights from the
-        pretrain checkpoint (strict=False; ref: mocodad_latent.py:223-228)."""
+    def _load_pretrained_into(self, params, batch_stats):
+        """Latent diffusion stage: transfer matching weights AND BatchNorm
+        running stats from the pretrain checkpoint (the reference's
+        load_state_dict(strict=False) restores BN buffers too,
+        ref: mocodad_latent.py:223-228 — without them the frozen encoder
+        would normalize with mean=0/var=1 in eval mode)."""
         path = self.cfg.pretrained_model_ckpt_path
         if not path:
             raise ValueError('Pretrained model checkpoint path not specified')
         raw = load_state_dict(path)
         src = raw.get('params', raw)
-        return merge_matching(params, src)
+        params = merge_matching(params, src)
+        if isinstance(raw, dict) and raw.get('batch_stats'):
+            batch_stats = merge_matching(batch_stats, raw['batch_stats'])
+        return params, batch_stats
 
     # ---- jitted steps ----------------------------------------------------
 
@@ -518,6 +525,11 @@ class Trainer:
                 if b['idx' if use_pool else 'trans'].ndim == 2:
                     from mocodad_tpu.parallel.mesh import shard_grouped_batch
                     return shard_grouped_batch(b, self.mesh)
+                if not use_pool:
+                    # the train step consumes data/trans/mask only; meta
+                    # and frames are eval-side fields and would cross the
+                    # host->device tunnel per step for nothing
+                    b = {k: b[k] for k in ('data', 'trans', 'mask')}
                 return shard_batch(b, self.mesh)
 
             loader = prefetch(base, place=_place)

@@ -178,3 +178,9 @@ def test_guardrails(synth, fitted):
     s2 = StreamScorer(cfg_pad, variables=_init_vars(cfg_pad), batch_size=8)
     with pytest.raises(ValueError):
         s2.finalize_clip(0, 0, n_frames=10)
+
+
+def test_all_aggregation_rejected(synth, fitted):
+    cfg = _cfg(synth, fitted.ckpt_dir, aggregation_strategy='all')
+    with pytest.raises(ValueError):
+        StreamScorer(cfg, variables=None)

@@ -319,3 +319,56 @@ def test_profile_dir_writes_trace(tmp_path):
     Trainer(cfg, mesh=make_mesh(1)).fit(ds, n_epochs=1)
     found = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
     assert found, 'no profiler trace written'
+
+
+def test_latent_transfer_restores_batch_stats(tmp_path):
+    """The diffusion stage must inherit the pretrain checkpoint's
+    BatchNorm running stats, not just params — the reference's
+    strict=False load restores BN buffers too (mocodad_latent.py:223-228);
+    without them the frozen encoder normalizes with mean=0/var=1."""
+    from mocodad_tpu.models import build_model
+
+    def latent_cfg(stage):
+        return Config(
+            conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
+            seg_len=6, num_coords=2, embedding_dim=16, h_dim=32,
+            latent_dim=16, channels=[32, 16, 32], dropout=0.0,
+            noise_steps=10, n_generated_samples=2, batch_size=32,
+            aggregation_strategy='best', conditioning_architecture='AE',
+            ckpt_dir=str(tmp_path), num_transform=1, opt_lr=1e-3, seed=0,
+            diffusion_on_latent=True, stage=stage,
+            latent_embedding_dim=16, hidden_sizes=[16, 32, 32, 16],
+            pretrained_model_ckpt_path=os.path.join(str(tmp_path),
+                                                    'pre.ckpt'))
+
+    pre_model = build_model(latent_cfg('pretrain'))
+    variables = pre_model.init_variables(jax.random.key(0))
+    # make the running stats distinguishable from a fresh init
+    shifted_stats = jax.tree_util.tree_map(lambda x: x + 3.0,
+                                           variables['batch_stats'])
+    save_checkpoint(os.path.join(str(tmp_path), 'pre.ckpt'),
+                    {'params': variables['params'],
+                     'batch_stats': shifted_stats,
+                     'opt_state': {}, 'ema_params': None,
+                     'step': np.int32(1)})
+
+    trainer = Trainer(latent_cfg('diffusion'), mesh=make_mesh(1))
+    state = trainer.init_state(steps_per_epoch=1, rng=jax.random.key(1))
+    import flax.serialization as ser
+    got = ser.to_state_dict(state.batch_stats)
+    want = ser.to_state_dict(jax.device_get(shifted_stats))
+
+    def overlap_equal(w, g, path=''):
+        n = 0
+        if isinstance(w, dict):
+            for k in w:
+                if isinstance(g, dict) and k in g:
+                    n += overlap_equal(w[k], g[k], f'{path}/{k}')
+            return n
+        if np.shape(w) == np.shape(g):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-6, err_msg=path)
+            return 1
+        return 0
+
+    assert overlap_equal(want, got) > 0, 'no shared BN stats leaves found'
