@@ -137,3 +137,79 @@ def test_json_path_matches_reference(json_tree, strategy, kp18):
         np.asarray(frames, np.int64)[oi])
     np.testing.assert_array_equal(
         np.asarray(ref.segs_data_np, np.float32)[ri], data[oi])
+
+
+@pytest.mark.parametrize('seed,n_clips,n_actors,n_frames,stride', [
+    (11, 1, 2, 40, 1),
+    (23, 3, 2, 64, 3),
+    (31, 2, 4, 100, 2),
+])
+def test_csv_robust_path_matches_reference_randomized(
+        tmp_path_factory, seed, n_clips, n_actors, n_frames, stride):
+    """The CSV-path oracle across randomized dataset shapes (clip/actor
+    counts, track lengths, window strides) — guards the windowing and
+    scaler plumbing beyond the single fixture geometry."""
+    from mocodad_tpu.data import synthetic
+    from mocodad_tpu.data.robust import robust_pose_windows
+    from utils.dataset import PoseDatasetRobust
+
+    d = str(tmp_path_factory.mktemp(f'csv_rand{seed}'))
+    synthetic.generate(d, seed=seed, n_clips_per_split=n_clips,
+                       n_actors=n_actors, n_frames=n_frames)
+    ref_dir = str(tmp_path_factory.mktemp(f'ref{seed}'))
+    our_dir = str(tmp_path_factory.mktemp(f'our{seed}'))
+
+    for split in ('train', 'test'):
+        ref = PoseDatasetRobust(
+            path_to_data=d, include_global=False, split=split,
+            exp_dir=ref_dir, transform_list=None, seg_len=6,
+            seg_stride=stride, vid_res=[640, 360],
+            normalization_strategy='robust', normalize_pose=True,
+            kp18_format=False, headless=False, num_coords=2)
+        data, meta, frames = robust_pose_windows(
+            trajectories_path=d, split=split, seg_len=6,
+            seg_stride=stride, vid_res=[640, 360],
+            normalization_strategy='robust', exp_dir=our_dir)
+        assert ref.segs_data_np.shape == data.shape
+        ri = _sorted_by_meta(ref.segs_meta)
+        oi = _sorted_by_meta(meta)
+        np.testing.assert_array_equal(
+            np.asarray(ref.segs_meta, np.int64)[ri],
+            np.asarray(meta, np.int64)[oi])
+        np.testing.assert_array_equal(
+            np.asarray(ref.segs_ids, np.int64)[ri],
+            np.asarray(frames, np.int64)[oi])
+        np.testing.assert_allclose(ref.segs_data_np[ri], data[oi],
+                                   atol=2e-5)
+
+
+@pytest.mark.parametrize('kp18,headless', [(True, False), (False, True)])
+def test_csv_robust_joint_remaps_match_reference(tmp_path_factory, kp18,
+                                                 headless):
+    """kp17->18 conversion and headless(14) trim on the robust CSV path
+    (ref utils/dataset.py:269-274) vs robust_pose_windows."""
+    from mocodad_tpu.data import synthetic
+    from mocodad_tpu.data.robust import robust_pose_windows
+    from utils.dataset import PoseDatasetRobust
+
+    d = str(tmp_path_factory.mktemp(f'csv_remap{int(kp18)}{int(headless)}'))
+    synthetic.generate(d, seed=9, n_clips_per_split=2, n_actors=2,
+                       n_frames=50)
+    ref_dir = str(tmp_path_factory.mktemp('ref_remap'))
+    our_dir = str(tmp_path_factory.mktemp('our_remap'))
+
+    ref = PoseDatasetRobust(
+        path_to_data=d, include_global=False, split='train',
+        exp_dir=ref_dir, transform_list=None, seg_len=6, seg_stride=1,
+        vid_res=[640, 360], normalization_strategy='robust',
+        normalize_pose=True, kp18_format=kp18, headless=headless,
+        num_coords=2)
+    data, meta, frames = robust_pose_windows(
+        trajectories_path=d, split='train', seg_len=6, seg_stride=1,
+        vid_res=[640, 360], normalization_strategy='robust',
+        exp_dir=our_dir, kp18_format=kp18, headless=headless)
+
+    assert ref.segs_data_np.shape == data.shape
+    ri = _sorted_by_meta(ref.segs_meta)
+    oi = _sorted_by_meta(meta)
+    np.testing.assert_allclose(ref.segs_data_np[ri], data[oi], atol=2e-5)
