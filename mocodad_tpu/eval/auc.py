@@ -41,6 +41,11 @@ def roc_curve(y_true: np.ndarray, y_score: np.ndarray):
     ref: utils/eval_utils.py:116-130)."""
     y_true = np.asarray(y_true) > 0
     y_score = np.asarray(y_score, dtype=np.float64)
+    if y_true.all() or not y_true.any():
+        # consistent with roc_auc_score above: a single-class y_true has
+        # no defined curve (silently returning zeros would render a
+        # bogus flat ROC plot)
+        raise ValueError('roc_curve is undefined for single-class y_true')
     order = np.argsort(-y_score, kind='mergesort')
     ys, yt = y_score[order], y_true[order]
     distinct = np.where(np.diff(ys))[0]

@@ -78,6 +78,8 @@ def post_processing(out: np.ndarray, trans: np.ndarray, meta: np.ndarray,
     all_gts = sorted(f for f in os.listdir(gt_path) if f.endswith('.npy'))
     scene_clips = [(int(f.split('_')[0]), int(f.split('_')[1].split('.')[0]))
                    for f in all_gts]
+    # load each gt mask once, not once per transformation
+    gt_arrays = [np.load(os.path.join(gt_path, f)) for f in all_gts]
 
     hr_ubnormal = {}
     if use_hr and dataset_name == 'UBnormal':
@@ -95,7 +97,7 @@ def post_processing(out: np.ndarray, trans: np.ndarray, meta: np.ndarray,
         dataset_gt = []
         model_scores = []
         for idx, (scene_idx, clip_idx) in enumerate(scene_clips):
-            gt = np.load(os.path.join(gt_path, all_gts[idx]))
+            gt = gt_arrays[idx]
             n_frames = gt.shape[0]
 
             cond_sc = (meta_t[:, 0] == scene_idx) & (meta_t[:, 1] == clip_idx)

@@ -86,7 +86,9 @@ def ranges(nums) -> List[Tuple[int, int]]:
 def pad_scores(fig_reconstruction_loss: np.ndarray, gt: np.ndarray,
                pad_size: int) -> np.ndarray:
     """Zero out actor-absence intervals, widened by pad_size
-    (ref: utils/eval_utils.py:133-149)."""
+    (ref: utils/eval_utils.py:133-149).  Returns a new array (the
+    reference mutates in place; a public helper should not)."""
+    fig_reconstruction_loss = np.array(fig_reconstruction_loss)
     zero_interval = (set(range(len(gt) - 1))
                      - set(np.nonzero(fig_reconstruction_loss)[0]))
     non_presence_intervals = ranges(zero_interval)

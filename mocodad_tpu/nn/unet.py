@@ -29,7 +29,9 @@ from mocodad_tpu.nn.stsgcn import JointMixLayer, STGCNNLayer
 
 def joint_pyramid(n_joints: int) -> dict:
     """Joint counts per U-Net level (ref: stsae_unet.py:11, generalized so
-    level 'a' follows the input's joint count)."""
+    level 'a' follows the input's joint count).  'd' mirrors the
+    reference's dict for documentation; no 4th level exists — the U-Net
+    descends a -> b -> c (as in the reference)."""
     return {'a': n_joints, 'b': 12, 'c': 10, 'd': 8}
 
 

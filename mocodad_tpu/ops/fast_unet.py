@@ -54,9 +54,7 @@ def _block_diag_joint_mix(kernel: jnp.ndarray, t_dim: int) -> jnp.ndarray:
 class _Layer:
     """Precomputed constants for one ST-GCNN layer in graph-major form."""
 
-    def __init__(self, p: Dict, s: Dict, t_dim: int, v_dim: int,
-                 c_in: int, c_out: int):
-        self.c_in, self.c_out = c_in, c_out
+    def __init__(self, p: Dict, s: Dict):
         # left operator: K^T so that  out = K_T @ X  ((TV_out, TV_in) @ ...)
         self.k_t = compose_graph_operator(p['gcn']['T'], p['gcn']['A']).T
         self.w = p['tcn_kernel']
@@ -73,7 +71,7 @@ class _Layer:
         if self.has_emb:
             self.ek, self.eb = p['emb_kernel'], p['emb_bias']
 
-    def __call__(self, x: jnp.ndarray, n: int,
+    def __call__(self, x: jnp.ndarray,
                  emb: Optional[jnp.ndarray]) -> jnp.ndarray:
         """x: (TV, N, C_in) -> (TV, N, C_out).
 
@@ -126,39 +124,30 @@ class _JointMix:
 
 def build_fast_denoiser(params: Dict, batch_stats: Dict, *, c_in: int,
                         n_frames: int, n_joints: int, embedding_dim: int,
-                        unet_down_channels=(16, 32, 32, 64, 64, 128, 64),
-                        unet_up_channels=None,
-                        inject_condition: bool = True):
+                        inject_condition: bool = False):
     """Build fn(x_nctv, t, cond_emb) -> eps_nctv from an STSAEUnet variables
     tree ('model' subtree of MoCoDADNet), numerically matching
-    nn/unet.py:STSAEUnet.__call__ in eval mode."""
+    nn/unet.py:STSAEUnet.__call__ in eval mode.  Channel widths come from
+    the weights themselves; `inject_condition` defaults to False to match
+    STSAEUnet's default."""
     from mocodad_tpu.nn.unet import joint_pyramid
 
     jp = joint_pyramid(n_joints)
-    dn = list(unet_down_channels)
-    up = (list(unet_up_channels) if unet_up_channels is not None
-          else [64, 32, 32, c_in])
     p, s = params, batch_stats
     t_dim = n_frames
 
-    def L(name, v, ci, co):
-        return _Layer(p[name], s[name], t_dim, v, ci, co)
+    def L(name):
+        return _Layer(p[name], s[name])
 
-    layers_a = [L('p1a', jp['a'], c_in, dn[0]),
-                L('d1_0', jp['a'], dn[0], dn[1]),
-                L('d1_1', jp['a'], dn[1], dn[2])]
+    layers_a = [L('p1a'), L('d1_0'), L('d1_1')]
     down1 = _JointMix(p['down1'], s['down1'], t_dim)
-    layers_b = [L('d2_0', jp['b'], dn[2], dn[3]),
-                L('d2_1', jp['b'], dn[3], dn[4])]
+    layers_b = [L('d2_0'), L('d2_1')]
     down2 = _JointMix(p['down2'], s['down2'], t_dim)
-    layers_c = [L('d3_0', jp['c'], dn[4], dn[5]),
-                L('d3_1', jp['c'], dn[5], dn[6])]
+    layers_c = [L('d3_0'), L('d3_1')]
     up3 = _JointMix(p['up3'], s['up3'], t_dim)
-    layers_u4 = [L('u4_0', jp['b'], dn[-1], up[0]),
-                 L('u4_1', jp['b'], up[0], up[1])]
+    layers_u4 = [L('u4_0'), L('u4_1')]
     up2 = _JointMix(p['up2'], s['up2'], t_dim)
-    layers_u3 = [L('u3_0', jp['a'], up[1], up[2]),
-                 L('u3_1', jp['a'], up[2], up[3])]
+    layers_u3 = [L('u3_0'), L('u3_1')]
 
     def fn(x_nctv: jnp.ndarray, t: jnp.ndarray,
            cond_emb: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -174,21 +163,21 @@ def build_fast_denoiser(params: Dict, batch_stats: Dict, *, c_in: int,
 
         f = x
         for l in layers_a:
-            f = l(f, n, emb)
+            f = l(f, emb)
         d1 = f
         f = down1(f)
         for l in layers_b:
-            f = l(f, n, emb)
+            f = l(f, emb)
         d2 = f
         f = down2(f)
         for l in layers_c:
-            f = l(f, n, emb)
+            f = l(f, emb)
         f = up3(f) + d2
         for l in layers_u4:
-            f = l(f, n, emb)
+            f = l(f, emb)
         f = up2(f) + d1
         for l in layers_u3:
-            f = l(f, n, emb)
+            f = l(f, emb)
         f = f + x
 
         out = f.reshape(t_dim, jp['a'], n, c_in)

@@ -90,7 +90,7 @@ def _fold_gcn(p: Dict, s: Dict, cdt) -> _GcnW:
 
 
 def _fold_joint(p: Dict, s: Dict, t_dim: int, cdt) -> _JointW:
-    d = _np(_block_diag_joint_mix(jnp.asarray(_np(p['kernel'])), t_dim)).T
+    d = _np(_block_diag_joint_mix(jnp.asarray(p['kernel']), t_dim)).T
     sc, sh = _fold_bn(p['BatchNorm_0'], s['BatchNorm_0'])
     sc, sh = _np(sc), _np(sh)
     v_out = _np(p['kernel']).shape[1]

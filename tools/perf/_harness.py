@@ -38,7 +38,7 @@ def build_forward(n=N):
     P = variables['params']['model']
     S = variables['batch_stats']['model']
     den = build_fast_denoiser(P, S, c_in=2, n_frames=3, n_joints=17,
-                              embedding_dim=16)
+                              embedding_dim=16, inject_condition=True)
     dt = jnp.bfloat16
     xb = jax.random.normal(jax.random.key(5), (n, 2, 3, 17), dt)
     tbb = jnp.full((n,), 5, jnp.int32)

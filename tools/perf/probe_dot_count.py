@@ -136,7 +136,7 @@ def forward(x_nctv, t, cond_emb, *, fused_emb, merge_res):
 
 
 den_bf = build_fast_denoiser(P, S, c_in=2, n_frames=3, n_joints=17,
-                             embedding_dim=16)
+                             embedding_dim=16, inject_condition=True)
 
 # parity
 x = jax.random.normal(jax.random.key(3), (2048, 2, 3, 17), jnp.float32)

@@ -220,7 +220,7 @@ def grouped(x_ctn, semb):
 
 # ---- parity + timing ----------------------------------------------------
 den_bf = build_fast_denoiser(P, S, c_in=2, n_frames=3, n_joints=17,
-                             embedding_dim=16)
+                             embedding_dim=16, inject_condition=True)
 
 n_small = 2048
 x = jax.random.normal(jax.random.key(3), (n_small, 2, 3, 17), jnp.bfloat16)

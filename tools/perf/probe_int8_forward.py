@@ -141,7 +141,7 @@ ORDER = [('p1a', 'a'), ('d1_0', 'a'), ('d1_1', 'a'), ('down1', None),
 
 # ---- calibration: bf16 fast path intermediate maxima -------------------
 den_bf = build_fast_denoiser(P, S, c_in=2, n_frames=3, n_joints=17,
-                             embedding_dim=16)
+                             embedding_dim=16, inject_condition=True)
 xc = jax.random.normal(jax.random.key(1), (2048, 2, 3, 17), jnp.float32)
 tc_ = jnp.full((2048,), 5, jnp.int32)
 ec = jax.random.normal(jax.random.key(2), (2048, 16), jnp.float32) * 0.5
