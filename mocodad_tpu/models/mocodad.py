@@ -102,7 +102,15 @@ class MoCoDADNet(nn.Module):
             return None, None
         out = self.condition_encoder(cond, None, train=train)
         if isinstance(out, tuple):
-            return out  # (latent, reconstruction-or-None)
+            latent, rec = out
+            # Only the AE architecture produces a reconstruction (the
+            # reference guards its rec loss on arch == 'AE',
+            # models/mocodad.py:220); STSEUnet returns (latent, []) — an
+            # empty hidden-state list, not a reconstruction — which must
+            # not leak into `rec is not None` loss guards.
+            if isinstance(rec, (list, tuple)) and len(rec) == 0:
+                rec = None
+            return latent, rec
         return out, None
 
     def denoise(self, x: jnp.ndarray, t: jnp.ndarray,

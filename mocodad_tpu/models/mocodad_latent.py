@@ -105,6 +105,16 @@ class MoCoDADLatentModel(MoCoDADModel):
         if self.strategy != 'inject':
             raise ValueError('Conditioning strategy must be inject for the '
                              'latent variant (ref: mocodad_latent.py:32)')
+        if self.hidden_sizes[-1] != self.latent_embedding_dim:
+            # the denoiser MLP's last hidden layer IS its output (ref
+            # components.py:237: Linear(input, hidden_sizes[-1]) with no
+            # further projection), so the latent DDPM is well-formed only
+            # when it matches the latent width — the reference crashes
+            # with an opaque broadcast error here
+            raise ValueError(
+                f'hidden_sizes[-1] ({self.hidden_sizes[-1]}) must equal '
+                f'latent_embedding_dim ({self.latent_embedding_dim}): the '
+                'denoiser MLP predicts the latent-space noise')
         # Pretrain stage always returns poses (ref: mocodad_latent.py:33)
         if self.stage == 'pretrain':
             self.model_return_value = 'pose'

@@ -243,3 +243,25 @@ def test_antithetic_latent_generate_smoke():
     sel, loss = model.generate(variables, data, jax.random.key(3))
     assert sel.shape == (4, 64)
     assert loss.shape == (4,) and np.isfinite(np.asarray(loss)).all()
+
+
+@pytest.mark.parametrize('latent', [False, True])
+def test_e_unet_condition_arch_trains(latent):
+    """E_unet condition encoders return (latent, []) — an empty
+    hidden-state list, not a reconstruction — which must not trip the
+    AE-only rec-loss guard (ref models/mocodad.py:220 guards on
+    arch == 'AE'); regression for a TypeError in the latent pretrain
+    stage."""
+    kw = dict(conditioning_architecture='E_unet', channels=[8, 4, 8],
+              embedding_dim=8, h_dim=8, latent_dim=8, noise_steps=5,
+              n_generated_samples=2)
+    if latent:
+        kw.update(diffusion_on_latent=True, stage='pretrain',
+                  latent_embedding_dim=16,
+                  hidden_sizes=[16, 32, 32, 16])
+    model = build_model(_cfg(**kw))
+    variables = model.init_variables(jax.random.key(0))
+    data = jax.random.normal(jax.random.key(1), (4, 2, 6, 17)) * 0.1
+    loss, metrics, _ = model.loss(variables, data, jax.random.key(2))
+    assert np.isfinite(float(loss))
+    assert 'loss_recons' not in metrics  # AE-only term
