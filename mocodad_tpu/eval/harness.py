@@ -133,7 +133,11 @@ def post_processing(out: np.ndarray, trans: np.ndarray, meta: np.ndarray,
 
 def post_processing_from_config(out, trans, meta, frames, cfg,
                                 **overrides) -> float:
-    kwargs = dict(gt_path=cfg.gt_path, num_transform=cfg.num_transform,
+    # num_transform: 0 selects the old_aug (random-temporal-crop) training
+    # path; its windows are stored once under trans index 0, so scoring
+    # always iterates at least one transform (same clamp as the loaders,
+    # training/loop.py and data/pipeline.py)
+    kwargs = dict(gt_path=cfg.gt_path, num_transform=max(cfg.num_transform, 1),
                   dataset_name=cfg.dataset_choice, split=cfg.split,
                   use_hr=cfg.use_hr, pad_size=cfg.pad_size,
                   filter_kernel_size=cfg.filter_kernel_size,

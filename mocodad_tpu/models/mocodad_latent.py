@@ -143,6 +143,13 @@ class MoCoDADLatentModel(MoCoDADModel):
                           self.n_joints))
         return jax.jit(self.net.init)(rng, x, t, cond)
 
+    def supports_pallas_eval(self) -> bool:
+        """The megakernel bakes the base model's pose-space U-Net +
+        generate semantics; both latent stages (bottlenecked STSAEUnet /
+        STSEUnet + latent DDPM) differ, so the opt-in path is unsupported
+        here rather than silently wrong."""
+        return False
+
     def trainable_mask(self, params) -> Any:
         """Stage 'diffusion' freezes the pretrained encoder + condition
         encoder; only the latent MLP denoiser trains

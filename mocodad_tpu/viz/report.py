@@ -204,11 +204,15 @@ def report_from_saved_tensors(cfg, out_path: Optional[str] = None,
     from mocodad_tpu.utils.tensors import load_tensors
     t = load_tensors(cfg.ckpt_dir, cfg.split, cfg.aggregation_strategy,
                      cfg.n_generated_samples)
-    auc = post_processing_from_config(t['prediction'], t['trans'],
+    # caches written under model_return_value 'pose'/'all' hold poses in
+    # 'prediction' and the scalar loss route in a separate 'loss' tensor
+    # (pack_prediction_tensors) — scoring always wants the losses
+    pred = t.get('loss', t['prediction'])
+    auc = post_processing_from_config(pred, t['trans'],
                                       t['metadata'], t['frames'], cfg)
     out_path = out_path or os.path.join(cfg.ckpt_dir,
                                         f'report_{cfg.split}.html')
-    return html_report(t['prediction'], t['trans'], t['metadata'],
+    return html_report(pred, t['trans'], t['metadata'],
                        t['frames'], cfg.gt_path, out_path,
                        frames_shift=cfg.frames_shift,
                        kernel_size=cfg.filter_kernel_size, auc=auc,

@@ -162,6 +162,30 @@ def test_post_processing_multi_actor_and_transforms(tmp_path):
     assert auc > 0.9
 
 
+def test_post_processing_from_config_old_aug_zero_transforms(tmp_path):
+    """num_transform: 0 (the old_aug random-crop path) stores windows once
+    under trans index 0; per-config scoring must clamp to one transform
+    instead of stacking an empty list."""
+    from mocodad_tpu.config import Config
+    from mocodad_tpu.eval.harness import post_processing_from_config
+    gt_dir = str(tmp_path / 'gt0')
+    n_frames = 60
+    gt = np.zeros(n_frames, dtype=int)
+    gt[30:45] = 1
+    _write_gt(gt_dir, 1, 1, gt)
+    starts = np.arange(1, n_frames - 6 + 2)
+    fr = starts[:, None] + np.arange(6)[None, :]
+    loss = np.where((fr.max(1) >= 30) & (fr.min(1) <= 46), 3.0, 0.05)
+    meta = np.zeros((len(starts), 4), dtype=int)
+    meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3] = 1, 1, 1, starts
+    cfg = Config(num_transform=0, gt_path=gt_dir, use_hr=False, pad_size=-1,
+                 filter_kernel_size=2, frames_shift=1, split='test',
+                 dataset_choice='UBnormal')
+    auc = post_processing_from_config(loss, np.zeros(len(starts), int),
+                                      meta, fr, cfg)
+    assert auc > 0.9
+
+
 def test_post_processing_rejects_pose_output(tmp_path):
     gt_dir = str(tmp_path / 'gt3')
     _write_gt(gt_dir, 1, 1, np.zeros(10, dtype=int))

@@ -99,3 +99,17 @@ def test_pallas_eval_rejects_unsupported_strategy():
                               conditioning_indices=2))
     with pytest.raises(ValueError):
         model.build_pallas_eval({'params': {}, 'batch_stats': {}})
+
+
+@pytest.mark.parametrize('stage', ['pretrain', 'diffusion'])
+def test_pallas_eval_rejects_latent_models(stage):
+    """Latent models inherit the inject-only guard from the base class but
+    the megakernel bakes base pose-space generate semantics — the
+    capability check must say no instead of producing wrong scores."""
+    from mocodad_tpu.models import MoCoDADLatentModel
+    model = MoCoDADLatentModel(_cfg(diffusion_on_latent=True, stage=stage,
+                                    latent_embedding_dim=32,
+                                    hidden_sizes=[32, 64, 32]))
+    assert not model.supports_pallas_eval()
+    with pytest.raises(ValueError):
+        model.build_pallas_eval({'params': {}, 'batch_stats': {}})

@@ -72,6 +72,30 @@ def test_html_report_self_contained(gt_dir, rng, tmp_path):
     assert '0.8700' in text and 'scene 1 clip 2' in text
 
 
+def test_report_from_pose_cache_uses_loss_route(gt_dir, rng, tmp_path):
+    """Caches written under model_return_value 'pose' hold poses in
+    'prediction' and the scalar route in 'loss' — the report helper must
+    score the losses (same fallback as eval --load_tensors)."""
+    from mocodad_tpu.config import Config
+    from mocodad_tpu.utils.tensors import save_tensors
+    from mocodad_tpu.viz import report_from_saved_tensors
+
+    out, trans, meta, frames = _window_outputs(rng)
+    pose = rng.normal(size=(len(out), 2, 3, 17)).astype(np.float32)
+    ckpt_dir = str(tmp_path / 'ckpt')
+    save_tensors({'prediction': pose, 'loss': out, 'gt_data': pose,
+                  'trans': trans, 'metadata': meta, 'frames': frames},
+                 ckpt_dir, 'test', 'best', 2)
+    cfg = Config(split='test', aggregation_strategy='best',
+                 n_generated_samples=2, num_transform=1, gt_path=gt_dir,
+                 use_hr=False, pad_size=-1, filter_kernel_size=3,
+                 frames_shift=1, dataset_choice='UBnormal',
+                 exp_dir=str(tmp_path), dir_name='x')
+    cfg.ckpt_dir = ckpt_dir
+    path = report_from_saved_tensors(cfg)
+    assert os.path.getsize(path) > 1000
+
+
 def test_animation_gif_export(tmp_path, rng):
     # 2 actors x 8 frames of 17 joints, image-space
     trajs = {'0001': rng.uniform(50, 300, (8, 34)),
