@@ -19,7 +19,7 @@ def main():
     cfg = load_config(cli.config)
 
     from mocodad_tpu.eval.harness import post_processing_from_config
-    from mocodad_tpu.utils.tensors import load_tensors, save_tensors
+    from mocodad_tpu.utils.tensors import load_tensors
 
     if cfg.load_tensors:
         # Scoring-only replay of cached predictions
@@ -48,37 +48,20 @@ def main():
     from mocodad_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
 
-    import jax
-    from mocodad_tpu.data import build_dataset, transformed_gt_data
-    from mocodad_tpu.training.checkpoint import restore_variables
-    from mocodad_tpu.training.loop import Trainer
-    from mocodad_tpu.utils.tensors import pack_prediction_tensors
-
-    print('Loading data and creating loaders.....')
-    ds = build_dataset(cfg, split=cfg.split)
-    print(f'{cfg.split} windows: {ds.num_samples} '
-          f'(x{ds.num_transform} transforms)')
-
-    trainer = Trainer(cfg, n_devices=cli.n_devices)
-    template = trainer.model.init_variables(jax.random.key(cfg.seed))
-    ckpt_path = os.path.join(cfg.ckpt_dir, cfg.load_ckpt)
-    variables = restore_variables(ckpt_path, template, use_ema=cfg.use_ema)
+    from mocodad_tpu.training.loop import (export_prediction_tensors,
+                                           restore_and_infer)
 
     # Selected poses are only needed when they get saved; an AUC-only
-    # eval always uses the loss route (and works with every aggregation)
-    need_pose = (cfg.save_tensors and
-                 trainer.model.model_return_value in ('pose', 'all'))
-    res = trainer.run_inference(ds, variables, jax.random.key(cfg.seed),
-                                with_pose=need_pose)
+    # eval always uses the loss route (and works with every aggregation).
+    # with_pose=None lets run_inference derive it from model_return_value.
+    trainer, ds, res = restore_and_infer(
+        cfg, n_devices=cli.n_devices,
+        with_pose=None if cfg.save_tensors else False)
     out, trans, meta, frames = (res['loss'], res['trans'], res['meta'],
                                 res['frames'])
 
     if cfg.save_tensors:
-        tensors = pack_prediction_tensors(
-            res, trainer.model.model_return_value,
-            gt_data=transformed_gt_data(ds.data, ds.num_transform))
-        save_tensors(tensors, cfg.ckpt_dir, cfg.split,
-                     cfg.aggregation_strategy, cfg.n_generated_samples)
+        export_prediction_tensors(trainer, ds, res, cfg)
 
     auc = post_processing_from_config(out, trans, meta, frames, cfg)
     print(f'AUC score: {auc:.6f}')

@@ -312,8 +312,14 @@ class StreamScorer:
                              'reference takes absence intervals from it)')
         scores = self._clip_scores((scene, clip), n_frames, gt=gt,
                                    smooth=True)
+        self.drop_clip(scene, clip)
+        return scores
+
+    def drop_clip(self, scene: int, clip: int) -> None:
+        """Free a clip's buffered windows/scores without scoring it — a
+        long-running service must be able to discard a clip whose
+        finalization inputs are invalid instead of leaking its state."""
         self._scored.pop((scene, clip), None)
         for key in [k for k in self._tracks
                     if k[0] == scene and k[1] == clip]:
             del self._tracks[key]
-        return scores

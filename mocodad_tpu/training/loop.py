@@ -609,3 +609,45 @@ class Trainer:
                     print(f'wandb log_model failed ({e})', file=sys.stderr)
         log_f.close()
         return state
+
+
+def restore_and_infer(cfg: Config, n_devices: Optional[int] = None,
+                      with_pose: Optional[bool] = None):
+    """Shared eval/predict CLI path: build the split dataset, restore the
+    configured checkpoint into a fresh template, and run generation over
+    the split (ref eval_MoCoDAD.py:32-38 / predict_MoCoDAD.py:31-36 share
+    the same restore+predict core via Lightning).
+
+    Returns (trainer, dataset, result) with `result` as run_inference
+    returns it.  `with_pose=None` derives from model_return_value.
+    """
+    from mocodad_tpu.data import build_dataset
+    from mocodad_tpu.training.checkpoint import restore_variables
+
+    print('Loading data and creating loaders.....')
+    ds = build_dataset(cfg, split=cfg.split)
+    print(f'{cfg.split} windows: {ds.num_samples} '
+          f'(x{ds.num_transform} transforms)')
+
+    trainer = Trainer(cfg, n_devices=n_devices)
+    template = trainer.model.init_variables(jax.random.key(cfg.seed))
+    ckpt_path = os.path.join(cfg.ckpt_dir, cfg.load_ckpt)
+    variables = restore_variables(ckpt_path, template, use_ema=cfg.use_ema)
+    res = trainer.run_inference(ds, variables, jax.random.key(cfg.seed),
+                                with_pose=with_pose)
+    return trainer, ds, res
+
+
+def export_prediction_tensors(trainer: 'Trainer', ds, res, cfg: Config
+                              ) -> str:
+    """Pack a run_inference result into the reference's saved-tensor cache
+    layout and write it under ckpt_dir (the predict CLI's artifact; the
+    eval CLI writes the same cache when save_tensors is set)."""
+    from mocodad_tpu.data import transformed_gt_data
+    from mocodad_tpu.utils.tensors import pack_prediction_tensors, save_tensors
+
+    tensors = pack_prediction_tensors(
+        res, trainer.model.model_return_value,
+        gt_data=transformed_gt_data(ds.data, ds.num_transform))
+    return save_tensors(tensors, cfg.ckpt_dir, cfg.split,
+                        cfg.aggregation_strategy, cfg.n_generated_samples)

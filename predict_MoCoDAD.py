@@ -4,7 +4,6 @@ split and writes prediction/gt_data/trans/metadata/frames into
 saved_tensors_{split}_{aggregation}_{n_generated_samples}/)."""
 
 import argparse
-import os
 
 
 
@@ -27,26 +26,11 @@ def main():
     from mocodad_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
 
-    import jax
-    from mocodad_tpu.data import build_dataset, transformed_gt_data
-    from mocodad_tpu.training.checkpoint import restore_variables
-    from mocodad_tpu.training.loop import Trainer
-    from mocodad_tpu.utils.tensors import (pack_prediction_tensors,
-                                           save_tensors)
+    from mocodad_tpu.training.loop import (export_prediction_tensors,
+                                           restore_and_infer)
 
-    print('Loading data and creating loaders.....')
-    ds = build_dataset(cfg, split=cfg.split)
-    trainer = Trainer(cfg, n_devices=cli.n_devices)
-    template = trainer.model.init_variables(jax.random.key(cfg.seed))
-    ckpt_path = os.path.join(cfg.ckpt_dir, cfg.load_ckpt)
-    variables = restore_variables(ckpt_path, template, use_ema=cfg.use_ema)
-
-    res = trainer.run_inference(ds, variables, jax.random.key(cfg.seed))
-    tensors = pack_prediction_tensors(
-        res, trainer.model.model_return_value,
-        gt_data=transformed_gt_data(ds.data, ds.num_transform))
-    path = save_tensors(tensors, cfg.ckpt_dir, cfg.split,
-                        cfg.aggregation_strategy, cfg.n_generated_samples)
+    trainer, ds, res = restore_and_infer(cfg, n_devices=cli.n_devices)
+    path = export_prediction_tensors(trainer, ds, res, cfg)
     print(f'saved tensors to {path}')
 
 

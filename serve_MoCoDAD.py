@@ -44,16 +44,42 @@ def serve(cfg, fin, fout, batch_size: int, flush_every):
             continue
         kind = msg.get('type')
         if kind == 'pose':
-            scorer.push(int(msg['scene']), int(msg['clip']),
-                        int(msg['person']), int(msg['frame']),
-                        np.asarray(msg['keypoints'], dtype=np.float32))
+            # field extraction is part of the same survivability contract
+            # as JSON parsing: missing keys, non-numeric ids, or ragged
+            # keypoints must not kill the service
+            try:
+                scorer.push(int(msg['scene']), int(msg['clip']),
+                            int(msg['person']), int(msg['frame']),
+                            np.asarray(msg['keypoints'], dtype=np.float32))
+            except (KeyError, TypeError, ValueError) as e:
+                print(f'skipping malformed pose message ({e}): {line[:120]}',
+                      file=sys.stderr)
         elif kind == 'end_clip':
-            scene, clip = int(msg['scene']), int(msg['clip'])
-            n_frames = int(msg['n_frames'])
+            try:
+                scene, clip = int(msg['scene']), int(msg['clip'])
+                n_frames = int(msg['n_frames'])
+            except (KeyError, TypeError, ValueError) as e:
+                print(f'skipping malformed end_clip message ({e}): '
+                      f'{line[:120]}', file=sys.stderr)
+                continue
             gt = None
             if cfg.pad_size != -1:
-                gt = np.load(os.path.join(cfg.gt_path,
-                                          f'{scene}_{clip}.npy'))
+                # a missing/corrupt mask fails this one clip, not the
+                # service (finalize_clip requires the mask when absence
+                # padding is configured)
+                try:
+                    gt = np.load(os.path.join(cfg.gt_path,
+                                              f'{scene}_{clip}.npy'))
+                except (OSError, ValueError) as e:
+                    print(f'cannot load gt mask for clip {scene}_{clip}: '
+                          f'{e}', file=sys.stderr)
+                    scorer.drop_clip(scene, clip)
+                    fout.write(json.dumps({
+                        'type': 'error', 'scene': scene, 'clip': clip,
+                        'error': 'gt mask unavailable for absence '
+                                 'padding'}) + '\n')
+                    fout.flush()
+                    continue
             scores = scorer.finalize_clip(scene, clip, n_frames, gt=gt)
             fout.write(json.dumps({
                 'type': 'scores', 'scene': scene, 'clip': clip,

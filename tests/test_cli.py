@@ -148,6 +148,16 @@ def test_serve_cli_streams_scores(workspace):
                               f'{scene_clip[0]}_{scene_clip[1]}.npy'))
     lines.append('{not json')       # malformed lines must not kill the service
     lines.append('"just a string"')
+    # structurally-bad messages (fields missing/non-numeric/ragged) must be
+    # skipped, not crash the long-running service
+    lines.append(json.dumps({'type': 'pose', 'scene': scene_clip[0],
+                             'clip': scene_clip[1]}))
+    lines.append(json.dumps({'type': 'pose', 'scene': 'abc', 'clip': 1,
+                             'person': 1, 'frame': 2, 'keypoints': []}))
+    lines.append(json.dumps({'type': 'pose', 'scene': 0, 'clip': 0,
+                             'person': 1, 'frame': 2,
+                             'keypoints': [[1.0, 2.0], [3.0]]}))
+    lines.append(json.dumps({'type': 'end_clip', 'scene': 9}))
     lines.append(json.dumps({'type': 'end_clip', 'scene': scene_clip[0],
                              'clip': scene_clip[1],
                              'n_frames': int(gt.shape[0])}))

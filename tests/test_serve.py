@@ -180,6 +180,28 @@ def test_guardrails(synth, fitted):
         s2.finalize_clip(0, 0, n_frames=10)
 
 
+def test_drop_clip_frees_state(synth, fitted):
+    """A clip whose finalization inputs are invalid can be discarded
+    without scoring (the serve CLI uses this when the gt mask for absence
+    padding is unavailable) — no track/score state may leak."""
+    cfg = _cfg(synth, fitted.ckpt_dir)
+    scorer = StreamScorer(cfg, variables=_init_vars(cfg), batch_size=8)
+    rs = np.random.default_rng(0)
+    for f in range(cfg.seg_len + 2):
+        scorer.push(0, 0, 1, f + 1,
+                    rs.uniform(100, 300, (17, 2)).astype(np.float32))
+        scorer.push(0, 1, 1, f + 1,
+                    rs.uniform(100, 300, (17, 2)).astype(np.float32))
+    scorer.flush(force=True)
+    scorer._drain()
+    scorer.drop_clip(0, 0)
+    assert all(k[:2] != (0, 0) for k in scorer._tracks)
+    assert (0, 0) not in scorer._scored
+    # the other clip is untouched and still finalizes
+    scores = scorer.finalize_clip(0, 1, n_frames=cfg.seg_len + 2)
+    assert np.isfinite(scores).all()
+
+
 def test_all_aggregation_rejected(synth, fitted):
     cfg = _cfg(synth, fitted.ckpt_dir, aggregation_strategy='all')
     with pytest.raises(ValueError):

@@ -68,12 +68,13 @@ def main():
     # steady-state throughput: feed enough frames for ~16 batches
     want = 16 * BATCH          # windows x views
     frames = want // (5 * N_ACTORS) + cfg.seg_len
+    warmed = len(scorer._scored[(0, 0)]['loss'])  # exclude warmup windows
     t0 = time.perf_counter()
     feed(frames, 10_000)
     scorer.flush(force=True)
     scorer._drain()
     dt = time.perf_counter() - t0
-    n = len(scorer._scored[(0, 0)]['loss'])
+    n = len(scorer._scored[(0, 0)]['loss']) - warmed
     print(f'steady-state: {n} window-views in {dt:.2f}s = {n / dt:.0f} '
           f'scored/s ({n / 5 / dt:.0f} windows/s incl. 5 views)',
           flush=True)
