@@ -170,7 +170,16 @@ class StreamScorer:
         are emitted over arrival positions exactly like the offline
         windowing (data/windows.py window_index_matrix with the eval
         split's stride 1)."""
-        kp = np.asarray(keypoints, dtype=np.float32).reshape(-1)
+        kp = np.asarray(keypoints, dtype=np.float32)
+        # every supported config consumes the 17-joint CSV layout (kp18/
+        # headless are derived downstream); reject wrong-arity poses HERE
+        # so one bad message cannot poison the track's ring buffer and
+        # fail every subsequent valid window of that actor
+        if kp.shape != (17, 2):
+            raise ValueError(
+                f'keypoints must have shape (17, 2) (the CSV trajectory '
+                f'layout, ref utils/data.py:219-236); got {kp.shape}')
+        kp = kp.reshape(-1)
         tr = self._tracks[(scene, clip, person)]
         tr.frames.append(int(frame))
         tr.coords.append(kp)
@@ -318,7 +327,21 @@ class StreamScorer:
     def drop_clip(self, scene: int, clip: int) -> None:
         """Free a clip's buffered windows/scores without scoring it — a
         long-running service must be able to discard a clip whose
-        finalization inputs are invalid instead of leaking its state."""
+        finalization inputs are invalid instead of leaking its state.
+
+        Covers every stage a window can live in: queued host windows
+        (not yet flushed), in-flight device batches (drained so their
+        results land and this clip's can be discarded), scored results,
+        and per-actor track buffers."""
+        keep = [i for i, m in enumerate(self._q_meta)
+                if not (int(m[0]) == scene and int(m[1]) == clip)]
+        if len(keep) != len(self._q_meta):
+            self._q_data = [self._q_data[i] for i in keep]
+            self._q_trans = [self._q_trans[i] for i in keep]
+            self._q_meta = [self._q_meta[i] for i in keep]
+            self._q_frames = [self._q_frames[i] for i in keep]
+        if self._pending_dev:
+            self._drain()
         self._scored.pop((scene, clip), None)
         for key in [k for k in self._tracks
                     if k[0] == scene and k[1] == clip]:

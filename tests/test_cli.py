@@ -153,6 +153,11 @@ def test_serve_cli_streams_scores(workspace):
     lines.append(json.dumps({'type': 'pose', 'scene': scene_clip[0],
                              'clip': scene_clip[1]}))
     lines.append(json.dumps({'type': 'pose', 'scene': 'abc', 'clip': 1,
+                             'person': 1, 'frame': 2,
+                             'keypoints': [[0.0, 0.0]] * 17}))
+    # valid ids + wrong-arity keypoints: must be rejected at push (a bad
+    # pose must not poison the actor's ring buffer for later valid ones)
+    lines.append(json.dumps({'type': 'pose', 'scene': 0, 'clip': 0,
                              'person': 1, 'frame': 2, 'keypoints': []}))
     lines.append(json.dumps({'type': 'pose', 'scene': 0, 'clip': 0,
                              'person': 1, 'frame': 2,

@@ -63,9 +63,14 @@ def test_round_trip_preserves_every_leaf(tmp_path):
     back = str(tmp_path / 'back.ckpt')
     convert_checkpoint.convert(cfg, 'to-flax', as_torch, back)
     assert not is_torch_checkpoint(back)
-    _assert_trees_equal(variables, restore_variables(back, variables))
+    # restore against a DIFFERENT-seed template: restore_variables falls
+    # back to template leaves for missing keys (strict=False), so equality
+    # vs `variables` only proves the file when the template can't supply it
+    other = jax.device_get(
+        MoCoDADModel(cfg).init_variables(jax.random.key(11)))
+    _assert_trees_equal(variables, restore_variables(back, other))
     # and both intermediates restore through the auto-detecting eval path
-    _assert_trees_equal(variables, restore_variables(as_torch, variables))
+    _assert_trees_equal(variables, restore_variables(as_torch, other))
 
 
 def test_to_flax_rejects_native_input(tmp_path):
@@ -93,4 +98,6 @@ def test_cli_entry(tmp_path):
     convert_checkpoint.main(['to-torch', '--config', str(cfg_path),
                              '--ckpt', native, '--out', out])
     assert is_torch_checkpoint(out)
-    _assert_trees_equal(variables, restore_variables(out, variables))
+    other = jax.device_get(
+        MoCoDADModel(cfg).init_variables(jax.random.key(11)))
+    _assert_trees_equal(variables, restore_variables(out, other))

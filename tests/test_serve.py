@@ -183,7 +183,9 @@ def test_guardrails(synth, fitted):
 def test_drop_clip_frees_state(synth, fitted):
     """A clip whose finalization inputs are invalid can be discarded
     without scoring (the serve CLI uses this when the gt mask for absence
-    padding is unavailable) — no track/score state may leak."""
+    padding is unavailable) — no state may leak at ANY stage: queued
+    host windows (the CLI calls drop_clip without flushing first),
+    in-flight device batches, scored results, track buffers."""
     cfg = _cfg(synth, fitted.ckpt_dir)
     scorer = StreamScorer(cfg, variables=_init_vars(cfg), batch_size=8)
     rs = np.random.default_rng(0)
@@ -192,14 +194,37 @@ def test_drop_clip_frees_state(synth, fitted):
                     rs.uniform(100, 300, (17, 2)).astype(np.float32))
         scorer.push(0, 1, 1, f + 1,
                     rs.uniform(100, 300, (17, 2)).astype(np.float32))
-    scorer.flush(force=True)
-    scorer._drain()
+    assert scorer.pending > 0           # windows still queued, NOT flushed
     scorer.drop_clip(0, 0)
     assert all(k[:2] != (0, 0) for k in scorer._tracks)
     assert (0, 0) not in scorer._scored
-    # the other clip is untouched and still finalizes
+    assert all(not (int(m[0]) == 0 and int(m[1]) == 0)
+               for m in scorer._q_meta), 'queued windows leaked'
+    # the other clip is untouched and still finalizes; the dropped clip's
+    # windows must not reappear in _scored via a later flush
     scores = scorer.finalize_clip(0, 1, n_frames=cfg.seg_len + 2)
     assert np.isfinite(scores).all()
+    assert (0, 0) not in scorer._scored and not scorer._tracks
+
+
+def test_push_rejects_wrong_arity_keypoints(synth, fitted):
+    """One bad pose must raise at push (the CLI skips it) and must NOT
+    poison the actor's ring buffer — subsequent valid poses still emit
+    windows."""
+    cfg = _cfg(synth, fitted.ckpt_dir)
+    scorer = StreamScorer(cfg, variables=_init_vars(cfg), batch_size=8)
+    rs = np.random.default_rng(0)
+    for f in range(3):
+        scorer.push(0, 0, 1, f + 1,
+                    rs.uniform(100, 300, (17, 2)).astype(np.float32))
+    with pytest.raises(ValueError):
+        scorer.push(0, 0, 1, 4, np.zeros((0,), np.float32))
+    with pytest.raises(ValueError):
+        scorer.push(0, 0, 1, 4, np.zeros((17, 3), np.float32))
+    for f in range(3, cfg.seg_len + 2):
+        scorer.push(0, 0, 1, f + 1,
+                    rs.uniform(100, 300, (17, 2)).astype(np.float32))
+    assert scorer.pending > 0           # windows emitted despite bad pushes
 
 
 def test_all_aggregation_rejected(synth, fitted):
