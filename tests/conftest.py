@@ -11,11 +11,13 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     flags = (flags + ' --xla_force_host_platform_device_count=8').strip()
-if 'xla_cpu_collective_call_terminate_timeout_seconds' not in flags:
-    # 8 virtual devices on 1 host core: collective rendezvous can starve
-    # past the default 30/40s hard-kill window under compile load
-    flags += (' --xla_cpu_collective_timeout_seconds=600'
-              ' --xla_cpu_collective_call_terminate_timeout_seconds=600')
+# 8 virtual devices on 1 host core: collective rendezvous can starve
+# past the default 30/40s hard-kill window under compile load.  Guard
+# each flag on its own presence — never duplicate/override a user value.
+for _f in ('xla_cpu_collective_timeout_seconds',
+           'xla_cpu_collective_call_terminate_timeout_seconds'):
+    if _f not in flags:
+        flags += f' --{_f}=600'
 os.environ['XLA_FLAGS'] = flags
 
 import jax  # noqa: E402

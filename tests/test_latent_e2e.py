@@ -61,10 +61,19 @@ def test_latent_two_stage_train_and_eval(synth, tmp_path):
     # ---- stage 2: diffusion over the frozen latent space ----
     cfg2 = _cfg(synth, tmp_path, 'diffusion')
     trainer2 = Trainer(cfg2, mesh=mesh)
+    # snapshot the stage-2 init BEFORE fit: fit overwrites last.ckpt (the
+    # shared ckpt_dir), after which init_state would re-load the TRAINED
+    # stage-2 weights via _load_pretrained_into and "init" == "post"
+    import flax.serialization as ser
+    from mocodad_tpu.data import num_batches
+    init2 = trainer2.init_state(
+        steps_per_epoch=num_batches(train_ds, cfg2.batch_size),
+        rng=jax.random.key(cfg2.seed))
+    init_denoiser = jax.device_get(
+        ser.to_state_dict(init2.params)['denoiser'])
     state2 = trainer2.fit(train_ds, n_epochs=2)
 
     # frozen subtrees must equal the pretrain weights where paths match
-    import flax.serialization as ser
     pre = ser.to_state_dict(state.params)
     post = ser.to_state_dict(state2.params)
 
@@ -76,7 +85,7 @@ def test_latent_two_stage_train_and_eval(synth, tmp_path):
             yield prefix, d
 
     pre_map = dict(leaves(pre))
-    changed = []
+    compared = 0
     for path, val in leaves(post):
         if path[0] == 'denoiser':
             continue
@@ -84,11 +93,17 @@ def test_latent_two_stage_train_and_eval(synth, tmp_path):
         if src is not None and np.shape(src) == np.shape(val):
             assert np.allclose(np.asarray(src), np.asarray(val)), \
                 f'frozen param {path} changed'
-    # and the denoiser itself must have trained
-    for path, val in leaves(post):
-        if path[0] == 'denoiser':
-            changed.append(path)
-    assert changed
+            compared += 1
+    assert compared > 0, 'no frozen leaves overlapped the pretrain state'
+    # and the denoiser itself must have MOVED from its (deterministic,
+    # same-seed) init — existence alone would also pass with a broken
+    # trainable mask that freezes everything
+    init_map = dict(leaves(init_denoiser))
+    moved = [path for path, val in leaves(post)
+             if path[0] == 'denoiser'
+             and not np.allclose(np.asarray(init_map[path[1:]]),
+                                 np.asarray(val))]
+    assert moved, 'denoiser params did not move from init'
 
     # ---- eval produces a valid AUC on the test split ----
     test_ds = build_dataset(cfg2, 'test')

@@ -94,6 +94,35 @@ def test_pallas_generate_statistics_match_module_path():
     assert np.all(np.isfinite(np.asarray(loss_p)))
 
 
+@pytest.mark.slow
+def test_pallas_generate_pairs_windows_correctly():
+    """A mean-only comparison cannot catch a b-major/s-major fold bug
+    that pairs one window's samples with another window's target (on
+    i.i.d. data the loss POPULATION is unchanged).  Scale each window by
+    a distinct power of two: each window's loss is then dominated by its
+    own target magnitude, so per-window loss RANKS must match the module
+    path exactly if (and only if) the fold pairs windows correctly."""
+    cfg = _cfg(n_generated_samples=3)
+    model = MoCoDADModel(cfg)
+    variables = _trained_variables(model)
+    base = jax.random.normal(jax.random.key(1), (8, 2, 6, 17))
+    scales = 4.0 ** jnp.arange(8)  # wide spacing: magnitude must dominate
+                                   # the sampling noise in every pair
+    # shuffle the scale order so rank order != batch order
+    scales = scales[jnp.array([3, 6, 0, 5, 1, 7, 2, 4])]
+    data = base * scales[:, None, None, None]
+
+    _, loss_m = model.generate(variables, data, jax.random.key(5))
+    gen = model.build_pallas_eval(variables, nb=8, interpret=True)
+    _, loss_p = gen(data, jax.random.key(5))
+
+    np.testing.assert_array_equal(np.argsort(np.asarray(loss_m)),
+                                  np.argsort(np.asarray(loss_p)))
+    # and both rank orders follow the injected target magnitudes
+    np.testing.assert_array_equal(np.argsort(np.asarray(loss_m)),
+                                  np.argsort(np.asarray(scales)))
+
+
 def test_pallas_eval_rejects_unsupported_strategy():
     model = MoCoDADModel(_cfg(conditioning_strategy='concat',
                               conditioning_indices=2))

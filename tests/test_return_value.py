@@ -77,13 +77,36 @@ def test_pose_and_all_return_values_roundtrip(synth, tmp_path):
                      cfg.n_generated_samples)
     assert t['prediction'].ndim == 4
 
-    # replay scoring (the eval CLI's load_tensors branch) must reproduce
-    # the direct loss-route AUC exactly
+    # replay scoring must reproduce the direct loss-route AUC exactly —
+    # through the REAL eval CLI load_tensors branch (eval_MoCoDAD.main),
+    # not a test-local mirror of its loss-preference fallback
     direct = post_processing_from_config(res['loss'], res['trans'],
                                          res['meta'], res['frames'], cfg)
-    replay = post_processing_from_config(
-        t.get('loss', t['prediction']), t['trans'], t['metadata'],
-        t['frames'], cfg)
+
+    import dataclasses
+    import sys
+
+    import yaml
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import eval_MoCoDAD
+
+    raw = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)
+           if f.name not in ('extras', 'pose_path')}
+    raw.update(load_tensors=True, dir_name='replay',
+               create_experiment_dir=True, validation=False)
+    replay_dir = os.path.join(str(tmp_path), 'UBnormal', 'replay')
+    os.makedirs(replay_dir, exist_ok=True)
+    save_tensors(tensors, replay_dir, cfg.split,
+                 cfg.aggregation_strategy, cfg.n_generated_samples)
+    ypath = os.path.join(str(tmp_path), 'replay.yaml')
+    with open(ypath, 'w') as f:
+        yaml.safe_dump(raw, f)
+    argv, sys.argv = sys.argv, ['eval_MoCoDAD.py', '--config', ypath]
+    try:
+        replay = eval_MoCoDAD.main()
+    finally:
+        sys.argv = argv
     assert replay == pytest.approx(direct, abs=1e-12)
 
     # -- 'all': prediction stays the loss vector; pose is separate -------
@@ -179,3 +202,9 @@ def test_eval_pool_mode_matches_host_batches(synth, tmp_path):
     dev = trainer._eval_pools[key][1]
     trainer.run_inference(ds, variables, jax.random.key(4))
     assert trainer._eval_pools[key][1] is dev
+    # ... and actually evict when a different dataset comes through:
+    # the single-entry cache bounds HBM at one pool
+    ds2 = build_dataset(cfg, 'test')     # fresh build -> new host buffer
+    assert ds2.data is not ds.data
+    trainer.run_inference(ds2, variables, jax.random.key(4))
+    assert set(trainer._eval_pools) == {id(ds2.data)}, 'stale pool retained'

@@ -151,8 +151,15 @@ def test_stream_inference_end_to_end(synth, fitted):
     ds = build_dataset(cfg, 'test')
     total = ds.data.shape[0] * cfg.num_transform
 
-    partial = scorer.partial_scores(0, 0, n_frames=48)
+    # (1, 1) is a real streamed clip — synthetic scenes/clips are
+    # 1-indexed; an unknown key would return all-zeros vacuously
+    partial = scorer.partial_scores(1, 1, n_frames=48)
     assert partial.shape == (48,) and np.isfinite(partial).all()
+    assert partial.max() > 0, 'partial scores came from an unknown clip key'
+    # partial_scores force-flushed everything: every streamed window x view
+    # must be scored exactly once
+    scored = sum(len(r['loss']) for r in scorer._scored.values())
+    assert scored == total, f'{scored} scored vs {total} streamed'
 
     gts = sorted(f for f in os.listdir(cfg.gt_path) if f.endswith('.npy'))
     seen = 0
