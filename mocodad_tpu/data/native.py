@@ -26,12 +26,28 @@ _lib_failed = False
 
 
 def _build() -> bool:
+    """Compile to a temp file then os.replace into place: the rename is
+    atomic, so concurrent builders (the threading lock is per-process
+    only) and readers always see either the old or the new complete
+    library — never a torn/truncated one — and a g++ killed mid-link
+    cannot leave a newer-mtime partial .so that suppresses rebuilds."""
+    import tempfile
+    try:
+        fd, tmp = tempfile.mkstemp(suffix='.so', dir=_CSRC)
+        os.close(fd)
+    except OSError:
+        return False
     try:
         subprocess.run(
-            ['g++', '-O3', '-shared', '-fPIC', _SRC_PATH, '-o', _LIB_PATH],
+            ['g++', '-O3', '-shared', '-fPIC', _SRC_PATH, '-o', tmp],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -43,22 +59,33 @@ def _load():
         if not os.path.exists(_SRC_PATH):
             _lib_failed = True
             return None
-        if (not os.path.exists(_LIB_PATH)
-                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
-            if not _build():
-                _lib_failed = True
-                return None
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
-            lib.csv_read_alloc.restype = ctypes.POINTER(ctypes.c_float)
-            lib.csv_read_alloc.argtypes = [
-                ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
-                ctypes.POINTER(ctypes.c_long)]
-            lib.csv_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
-            lib.csv_free.restype = None
-            _lib = lib
-        except OSError:
+            stale = (not os.path.exists(_LIB_PATH) or
+                     os.path.getmtime(_LIB_PATH) < os.path.getmtime(
+                         _SRC_PATH))
+        except OSError:  # racing rebuild/cleanup between exists and stat
+            stale = True
+        if stale and not _build():
             _lib_failed = True
+            return None
+        # two attempts: a stale/foreign .so (missing symbols, truncated)
+        # triggers one rebuild before giving up, instead of failing forever
+        for attempt in (0, 1):
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+                lib.csv_read_alloc.restype = ctypes.POINTER(ctypes.c_float)
+                lib.csv_read_alloc.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+                    ctypes.POINTER(ctypes.c_long)]
+                lib.csv_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+                lib.csv_free.restype = None
+                _lib = lib
+                break
+            except (OSError, AttributeError):
+                if attempt == 0 and _build():
+                    continue
+                _lib_failed = True
+                break
         return _lib
 
 

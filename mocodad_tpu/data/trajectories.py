@@ -26,14 +26,15 @@ def read_csv_matrix(path: str) -> np.ndarray:
         return m
     with open(path, 'rb') as f:
         buf = f.read()
-    txt = buf.decode('ascii')
-    lines = txt.split('\n')
-    while lines and not lines[-1].strip():
-        lines.pop()
+    # utf-8-sig: tolerate a BOM; blank INTERIOR lines are skipped to match
+    # the native parser's row counting (it counts non-blank lines only)
+    txt = buf.decode('utf-8-sig')
+    lines = [ln for ln in txt.split('\n') if ln.strip()]
     if not lines:
         return np.zeros((0, 0), dtype=np.float32)
     ncols = lines[0].count(',') + 1
-    flat = np.array(txt.replace(',', ' ').split(), dtype=np.float32)
+    flat = np.array(' '.join(lines).replace(',', ' ').split(),
+                    dtype=np.float32)
     return flat.reshape(len(lines), ncols)
 
 
