@@ -171,7 +171,12 @@ class Config:
             n_cond = ci
         elif strategy == 'inbetween_imp':
             if isinstance(ci, int):
-                n_cond = n_frames // ci
+                # count what _select_frames actually selects:
+                # arange(0, n_frames, step=ci) — the reference counts
+                # n_frames // ci here (models/mocodad.py:776) which
+                # disagrees with its own selection whenever ci does not
+                # divide seg_len and crashes in a reshape; quirk fix
+                n_cond = len(range(0, n_frames, ci))
             else:
                 n_cond = len(ci)
         elif strategy in ('concat', 'inject'):

@@ -119,7 +119,12 @@ def make_loader(ds: PoseWindows, batch_size: int, shuffle: bool = False,
         idx = order[start:start + batch_size]
         valid = idx.shape[0]
         if valid < batch_size and pad_to_full:
-            pad = np.full(batch_size - valid, idx[-1], dtype=idx.dtype)
+            # pad by wrapping the (shuffled) epoch order, not by
+            # duplicating one row: padded rows are loss-masked, but in
+            # train mode they still enter BatchNorm batch statistics, so
+            # filler drawn from the real data distribution keeps those
+            # stats sane (the reference trains the true smaller batch)
+            pad = np.resize(order, batch_size - valid).astype(idx.dtype)
             idx = np.concatenate([idx, pad])
         sample_idx = idx % n
         trans_idx = (idx // n).astype(np.int32)

@@ -82,9 +82,15 @@ def aggregate(strategy: str, loss_kind: str, xs: jnp.ndarray,
         l = elementwise_loss(loss_kind, sel, target)
         return sel, l.reshape(l.shape[0], -1).mean(axis=-1)
     if strategy in ('best', 'worst'):
-        idx = jnp.argmin(losses, axis=0) if strategy == 'best' \
-            else jnp.argmax(losses, axis=0)
-        loss = jnp.take_along_axis(losses, idx[None], axis=0)[0]
+        # the reference's running-comparison loop (models/mocodad.py:
+        # 504-512) never selects a NaN loss (strict </> against a large
+        # sentinel); a bare argmin/argmax would propagate the NaN into the
+        # window's anomaly score — mask NaN to the neutral infinity
+        ls = jnp.where(jnp.isnan(losses),
+                       jnp.inf if strategy == 'best' else -jnp.inf, losses)
+        idx = jnp.argmin(ls, axis=0) if strategy == 'best' \
+            else jnp.argmax(ls, axis=0)
+        loss = jnp.take_along_axis(ls, idx[None], axis=0)[0]
         sel = jnp.take_along_axis(
             xs, idx.reshape((1, -1) + (1,) * (xs.ndim - 2)), axis=0)[0]
         return sel, loss

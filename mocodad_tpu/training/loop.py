@@ -333,13 +333,24 @@ class Trainer:
         if with_pose is None:
             with_pose = self.model.model_return_value in ('pose', 'all')
         from mocodad_tpu.models.losses import selects_pose
+        # latent pretrain returns the reconstruction regardless of the
+        # aggregation strategy (mocodad_latent generate ignores it), so
+        # the loss-only-aggregation guard does not apply there
         if with_pose and not selects_pose(
-                str(self.model.aggregation_strategy)):
+                str(self.model.aggregation_strategy)) and \
+                getattr(self.model, 'stage', None) != 'pretrain':
             raise ValueError(
                 f"model_return_value '{self.model.model_return_value}' "
                 f"needs selected poses, but aggregation strategy "
                 f"'{self.model.aggregation_strategy}' is loss-only "
                 f"(ref models/mocodad.py:492-501 returns selected_x=None)")
+        # Domain-separate evaluation keys from training keys: the train
+        # step derives fold_in(key(seed), step), and fold_in(k, i) equals
+        # split(k)[i], so without a tag eval batch i (fold_in per batch
+        # below) would replay train step i's exact key tuple from the same
+        # config seed — correlating generation noise / random_imp orders
+        # with the noise the weights were trained on.
+        rng = jax.random.fold_in(rng, 0x45564C)  # 'EVL' domain tag
         use_pool = self._use_device_pool(ds)
         key = (with_pose, use_pool)
         if key not in self._eval_step:

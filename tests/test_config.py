@@ -73,6 +73,33 @@ def test_conditioning_split_matches_reference_semantics():
     assert cfg.conditioning_split() == (0, 6, 6)
 
 
+def test_conditioning_split_consistent_with_selection():
+    """The frame COUNT must equal what the selection actually takes for
+    every strategy/step — incl. inbetween_imp steps that do not divide
+    seg_len, where the reference's count (n_frames // step,
+    models/mocodad.py:776) disagrees with its own selection
+    (arange(0, n_frames, step), :734) and crashes in a reshape; the
+    quirk fix counts the selection."""
+    cases = [('inbetween_imp', 2, 6), ('inbetween_imp', 2, 7),
+             ('inbetween_imp', 5, 24), ('inbetween_imp', [0, 3], 6),
+             ('concat', 2, 6), ('concat', 4, 6),
+             ('inject', 3, 6), ('inject', [0, 1, 2], 6),
+             ('no_condition', 2, 6)]
+    for strategy, ci, seg in cases:
+        cfg = Config(conditioning_strategy=strategy,
+                     conditioning_indices=ci, seg_len=seg)
+        n_cond, n_corrupt, _ = cfg.conditioning_split()
+        cond, corrupt = cfg.cond_corrupt_indices()
+        assert len(cond) == n_cond, (strategy, ci, seg)
+        assert len(corrupt) == n_corrupt, (strategy, ci, seg)
+        assert sorted(cond + corrupt) == list(range(seg))
+    # the previously-miscounted case: seg_len=24, step=5 selects
+    # (0,5,10,15,20) = 5 conditioning frames, not 24//5 = 4
+    cfg = Config(conditioning_strategy='inbetween_imp',
+                 conditioning_indices=5, seg_len=24)
+    assert cfg.conditioning_split()[0] == 5
+
+
 def test_conditioning_validation_errors():
     with pytest.raises(ValueError):
         Config(conditioning_strategy='random_imp',

@@ -55,6 +55,30 @@ def test_aggregate_best_worst_match_torch_semantics(rng):
             rtol=1e-6)
 
 
+def test_aggregate_best_worst_skip_nan(rng):
+    """The reference's running-comparison loop (models/mocodad.py:504-512)
+    never selects a NaN loss; a bare argmin/argmax would."""
+    xs_j, tgt_j, xs, tgt = _setup(rng)
+    xs_nan = xs.copy()
+    xs_nan[0, 1] = np.nan                   # sample 0 of window 1
+    tl = _torch_losses(xs[1:], tgt).numpy()  # finite samples only
+    got_best = np.asarray(aggregate('best', 'smooth_l1',
+                                    jnp.asarray(xs_nan), tgt_j)[1])
+    got_worst = np.asarray(aggregate('worst', 'smooth_l1',
+                                     jnp.asarray(xs_nan), tgt_j)[1])
+    assert np.isfinite(got_best).all() and np.isfinite(got_worst).all()
+    np.testing.assert_allclose(got_best[1], tl[:, 1].min(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_worst[1], tl[:, 1].max(),
+                               rtol=1e-5, atol=1e-6)
+    # all samples NaN for a window: a big sentinel (inf), never NaN,
+    # mirroring the reference's untouched 1e10 initialization
+    xs_nan[:, 2] = np.nan
+    loss_all = np.asarray(aggregate('best', 'smooth_l1',
+                                    jnp.asarray(xs_nan), tgt_j)[1])
+    assert not np.isnan(loss_all).any() and np.isposinf(loss_all[2])
+
+
 def test_aggregate_median_matches_torch_lower_median(rng):
     # even sample count: torch.median picks the LOWER middle element
     xs_j, tgt_j, xs, tgt = _setup(rng, s=6)

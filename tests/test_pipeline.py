@@ -64,6 +64,27 @@ def test_loader_padding_and_index_mapping(synth_dir, tmp_path):
     assert np.all(flat_trans[ds.num_samples:] == 1)
 
 
+def test_loader_padding_wraps_epoch_order(synth_dir, tmp_path):
+    """Padded tail rows must be real windows wrapped from the (shuffled)
+    epoch order, not duplicates of one row: padded rows are loss-masked
+    but still enter BatchNorm batch statistics in train mode, so filler
+    must follow the data distribution."""
+    cfg = _cfg(synth_dir, tmp_path)
+    ds = build_dataset(cfg, 'train')
+    bs = next(b for b in (31, 29, 27) if len(ds) % b)
+    batches = list(make_loader(ds, batch_size=bs, shuffle=True, seed=3,
+                               yield_indices=True))
+    last = batches[-1]
+    valid = int(last['mask'].sum())
+    assert 0 < valid < bs
+    order = np.arange(len(ds))
+    np.random.default_rng(3).shuffle(order)
+    pad_expected = np.resize(order, bs - valid)
+    n = ds.num_samples
+    np.testing.assert_array_equal(last['idx'][valid:], pad_expected % n)
+    np.testing.assert_array_equal(last['trans'][valid:], pad_expected // n)
+
+
 def test_loader_shuffle_covers_all(synth_dir, tmp_path):
     cfg = _cfg(synth_dir, tmp_path)
     ds = build_dataset(cfg, 'train')

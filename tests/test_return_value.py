@@ -208,3 +208,22 @@ def test_eval_pool_mode_matches_host_batches(synth, tmp_path):
     assert ds2.data is not ds.data
     trainer.run_inference(ds2, variables, jax.random.key(4))
     assert set(trainer._eval_pools) == {id(ds2.data)}, 'stale pool retained'
+
+
+def test_latent_pretrain_eval_ignores_aggregation(synth, tmp_path):
+    """Stage 'pretrain' forces model_return_value 'pose' and its generate
+    returns the reconstruction regardless of the aggregation strategy —
+    a loss-only aggregation (e.g. 'mean') must not be rejected by the
+    selects_pose guard (the reference evaluates this config fine)."""
+    cfg = _cfg(synth, tmp_path, diffusion_on_latent=True, stage='pretrain',
+               latent_embedding_dim=32, hidden_sizes=[32, 64, 32],
+               aggregation_strategy='mean')
+    build_dataset(cfg, 'train')
+    ds = build_dataset(cfg, 'test')
+    trainer = Trainer(cfg, mesh=make_mesh(8))
+    variables = trainer.model.init_variables(jax.random.key(1))
+    res = trainer.run_inference(ds, variables, jax.random.key(2))
+    m = trainer.model
+    assert res['pose'].shape == (len(ds), m.num_coords,
+                                 m.n_frames_corrupt, m.n_joints)
+    assert np.isfinite(res['loss']).all()
