@@ -232,6 +232,10 @@ def json_pose_windows(path_to_json: str, seg_len: int, seg_stride: int,
                        if fn.endswith('.json'))
     if num_clips is not None:
         json_list = json_list[:num_clips]
+        # the reference then appends json_list[-num_clips:] — the SAME
+        # truncated clips again, doubling every debug clip
+        # (utils/dataset.py:144-145); mirrored for debug-mode parity
+        json_list += json_list[-num_clips:]
 
     segs, metas, ids = [], [], []
     for fn in json_list:

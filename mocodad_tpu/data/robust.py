@@ -42,13 +42,15 @@ def scaler_artifact_path(exp_dir: str, scope: str, strategy: str,
 def _fit_or_load_scaler(trajs, split: str, exp_dir: str, strategy: str,
                         scope: str, is_ubnormal: bool):
     """Train split: fit + save.  Validation on non-UBnormal: fit + save a
-    _val artifact.  Otherwise: load the train-fitted scaler
-    (ref: utils/get_robust_data.py:115-127)."""
+    _val artifact — but ONLY for the local scaler; the reference's global
+    block has just train/else branches, so the global scaler always loads
+    the train-fitted artifact (ref: utils/get_robust_data.py:85-90 global
+    vs :116-127 local)."""
     if split == 'train':
         _, scaler = S.scale_trajectories(T.aggregate_autoencoder_data(trajs),
                                          strategy=strategy)
         S.save_scaler(scaler, scaler_artifact_path(exp_dir, scope, strategy))
-    elif split == 'validation' and not is_ubnormal:
+    elif split == 'validation' and not is_ubnormal and scope == 'local':
         _, scaler = S.scale_trajectories(T.aggregate_autoencoder_data(trajs),
                                          strategy=strategy)
         S.save_scaler(scaler,

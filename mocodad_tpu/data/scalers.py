@@ -17,9 +17,12 @@ import numpy as np
 
 
 def _handle_zeros_in_scale(scale: np.ndarray) -> np.ndarray:
-    """Zeros (constant features) scale by 1, as sklearn does."""
+    """Constant features scale by 1.  sklearn (1.3, the reference's pin)
+    treats any scale below 10*eps as constant — an exact-zero test would
+    let a ~1e-16 round-off range blow a near-constant feature up by ~1e15
+    instead of passing it through."""
     scale = np.asarray(scale, dtype=np.float64).copy()
-    scale[scale == 0.0] = 1.0
+    scale[np.abs(scale) < 10 * np.finfo(np.float64).eps] = 1.0
     return scale
 
 

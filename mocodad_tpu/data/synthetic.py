@@ -81,8 +81,14 @@ def generate(out_dir: str, seed: int = 0, n_scenes: int = 1,
                 os.makedirs(folder, exist_ok=True)
                 gt = np.zeros(n_frames, dtype=np.int64)
                 for person in range(1, n_actors + 1):
-                    start = int(rng.integers(0, 10))
-                    length = int(rng.integers(n_frames - 30, n_frames - start))
+                    # frame numbers are 1-indexed like the real datasets:
+                    # the scoring chain scatters window losses at frame-1
+                    # (eval/scoring.py compute_var_matrix), so a 0-based
+                    # frame would wrap to the clip's last column and shift
+                    # every score one frame off its gt label
+                    start = int(rng.integers(1, 11))
+                    length = int(rng.integers(n_frames - 30,
+                                              n_frames - start + 1))
                     frames = np.arange(start, start + length)
                     anomalous = has_anom and person == n_actors
                     span_lo = length // 3
@@ -91,7 +97,7 @@ def generate(out_dir: str, seed: int = 0, n_scenes: int = 1,
                                          (span_lo, span_hi),
                                          anomaly_strength)
                     if anomalous:
-                        gt[frames[span_lo:span_hi]] = 1
+                        gt[frames[span_lo:span_hi] - 1] = 1
                     rows = np.concatenate(
                         [frames[:, None].astype(np.float64), track], axis=1)
                     path = os.path.join(folder, f'{person:04d}.csv')

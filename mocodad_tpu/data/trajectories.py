@@ -279,11 +279,18 @@ def assemble_ground_truth_and_reconstructions(
 def quantile_transform_errors(y_hats: Dict[str, np.ndarray]
                               ) -> Dict[str, np.ndarray]:
     """Map each camera's scores to uniform quantiles
-    (ref: utils/data.py:440-444; sklearn quantile_transform equivalent
-    via empirical CDF)."""
+    (ref: utils/data.py:440-444 = sklearn quantile_transform defaults).
+
+    Mirrors sklearn's forward/backward-interpolation average so TIED
+    scores (ubiquitous: every actor-less frame scores exactly 0) map to
+    one shared quantile — a rank transform would spread ties across
+    distinct position-dependent values."""
     for camera_id, y_hat in y_hats.items():
-        order = np.argsort(np.argsort(y_hat, kind='mergesort'),
-                           kind='mergesort')
-        n = max(len(y_hat) - 1, 1)
-        y_hats[camera_id] = order.astype(np.float64) / n
+        y = np.asarray(y_hat, dtype=np.float64)
+        n_q = max(min(1000, len(y)), 1)
+        refs = np.linspace(0.0, 1.0, n_q, endpoint=True)
+        quantiles = np.maximum.accumulate(np.nanpercentile(y, refs * 100))
+        fwd = np.interp(y, quantiles, refs)
+        bwd = np.interp(-y, -quantiles[::-1], -refs[::-1])
+        y_hats[camera_id] = 0.5 * (fwd - bwd)
     return y_hats

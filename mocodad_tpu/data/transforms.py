@@ -177,15 +177,19 @@ def random_rotate(pose: np.ndarray,
         return np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
 
     seq = np.transpose(pose.copy(), (1, 2, 0))  # (T, V, C)
-    # pad channels to 3 by repetition, as the reference's torch repeat does
-    reps = -(-3 // seq.shape[-1])
-    seq3 = np.tile(seq, (1, 1, reps))[:, :, :3]
+    c = seq.shape[-1]
     main_axis = int(rng.integers(0, 3))
     for axis in (0, 1):
         hi = 30 if axis == main_axis else 1
         angle = math.radians(rng.uniform(0, hi))
-        seq3 = np.matmul(seq3, rot_mat(axis, angle).T)
-    return np.transpose(seq3[:, :, :pose.shape[0]], (2, 0, 1))
+        # the reference re-pads 2->3 channels by repetition and truncates
+        # back after EVERY rotation (utils/tools.py:117-119), so the 3rd
+        # channel entering each rotation is the CURRENT x — not the
+        # rotated z carried over from the previous rotation
+        reps = -(-3 // c)
+        seq3 = np.tile(seq, (1, 1, reps))[:, :, :3]
+        seq = np.matmul(seq3, rot_mat(axis, angle).T)[:, :, :c]
+    return np.transpose(seq, (2, 0, 1))
 
 
 def gaussian_blur(pose: np.ndarray, kernel: int = 15, sigma=(0.1, 2.0),

@@ -24,6 +24,11 @@ def roc_auc_score(y_true: np.ndarray, y_score: np.ndarray) -> float:
     y_score = np.asarray(y_score, dtype=np.float64)
     if y_true.shape != y_score.shape or y_true.ndim != 1:
         raise ValueError('y_true and y_score must be 1-D of equal length')
+    if np.isnan(y_score).any():
+        # match sklearn: a NaN score must fail loudly — np.unique sorts
+        # NaN last, so it would otherwise silently rank as the MAXIMAL
+        # anomaly score and corrupt the reported AUC
+        raise ValueError('Input contains NaN')
     pos = y_true > 0
     n_pos = int(pos.sum())
     n_neg = int(y_true.shape[0] - n_pos)

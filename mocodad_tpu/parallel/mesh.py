@@ -62,6 +62,14 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = 'data') -> dict:
     (multi-host DCN): each process contributes its local rows and the
     result is a global jax.Array (see parallel/distributed.py)."""
     sh = batch_sharding(mesh, axis_name)
+    n_dev = mesh.shape[axis_name]
+    rows = next(iter(batch.values())).shape[0]
+    if rows % n_dev:
+        raise ValueError(
+            f'batch rows ({rows}) must be divisible by the mesh '
+            f"'{axis_name}' axis ({n_dev} devices) — set batch_size to a "
+            f'multiple of the device count (loaders pad every batch to '
+            f'batch_size, so configuring that suffices)')
     if jax.process_count() > 1:
         # Every process's loader yields the same (seeded) global batch and
         # contributes its own contiguous row range.  Host cost note: each

@@ -277,3 +277,60 @@ def test_native_csv_parser_handles_trailing_newline_and_ints(tmp_path):
         f.write('5,1.5,2\n6,2.5,3\n\n')  # trailing blank line
     got = native.read_csv_matrix(path)
     np.testing.assert_allclose(got, [[5, 1.5, 2], [6, 2.5, 3]])
+
+
+def test_handle_zeros_in_scale_near_constant():
+    """sklearn 1.3 (the reference's pin) treats any scale < 10*eps as
+    constant (scale 1), not just exact zeros — a ~1e-16 quantile range
+    must not blow a feature up by 1e15."""
+    X = np.zeros((50, 3), dtype=np.float64)
+    X[:, 0] = np.linspace(0, 1, 50)            # real spread
+    X[:, 1] = 1.0
+    X[:, 1][::2] += 1e-16                      # round-off-level range
+    X[:, 2] = 5.0                              # exactly constant
+    from sklearn.preprocessing import RobustScaler as SkRobust
+    sk = SkRobust(quantile_range=(10.0, 90.0)).fit(X)
+    ours = S.RobustScaler((10.0, 90.0)).fit(X)
+    np.testing.assert_allclose(ours.scale_, sk.scale_)
+    got = ours.transform(X)
+    assert np.abs(got).max() < 1e3
+
+
+def test_quantile_transform_matches_sklearn_with_ties(rng):
+    """Tied scores (every actor-less frame scores exactly 0) must map to
+    ONE shared quantile, as sklearn's quantile_transform does — not to
+    distinct position-dependent ranks (ref utils/data.py:440-444)."""
+    from sklearn.preprocessing import quantile_transform
+    from mocodad_tpu.data.trajectories import quantile_transform_errors
+    y = rng.normal(size=200).astype(np.float64)
+    y[::3] = 0.0                                # heavy ties
+    want = quantile_transform(y.reshape(-1, 1)).reshape(-1)
+    got = quantile_transform_errors({'c0': y.copy()})['c0']
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    # all ties share one output value
+    assert len(np.unique(got[y == 0.0])) == 1
+
+
+def test_random_rotate_repads_channels_each_rotation(rng):
+    """The reference re-pads 2->3 channels by repetition and truncates
+    back after EVERY rotation (utils/tools.py:117-119): the 3rd channel
+    entering the second rotation is the current x, not the rotated z."""
+    import math as _math
+
+    from mocodad_tpu.data.transforms import random_rotate
+    pose = rng.normal(size=(2, 6, 17)).astype(np.float64)
+    got = random_rotate(pose, rng=np.random.default_rng(5))
+
+    r = np.random.default_rng(5)
+    main_axis = int(r.integers(0, 3))
+    seq = np.transpose(pose, (1, 2, 0))
+    for axis in (0, 1):
+        hi = 30 if axis == main_axis else 1
+        a = _math.radians(r.uniform(0, hi))
+        c, s = _math.cos(a), _math.sin(a)
+        R = (np.array([[1, 0, 0], [0, c, s], [0, -s, c]]) if axis == 0
+             else np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]]))
+        seq3 = np.tile(seq, (1, 1, 2))[:, :, :3]   # [x, y, x] each time
+        seq = np.matmul(seq3, R.T)[:, :, :2]
+    np.testing.assert_allclose(got, np.transpose(seq, (2, 0, 1)),
+                               rtol=1e-12, atol=1e-12)

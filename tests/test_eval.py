@@ -246,3 +246,12 @@ def test_load_tensors_reads_reference_pt_caches(tmp_path):
     assert set(got) == set(want)
     for name in want:
         np.testing.assert_array_equal(got[name], want[name])
+
+
+def test_roc_auc_rejects_nan_scores():
+    """A NaN score ranks last in np.unique and would silently count as
+    the MAXIMAL anomaly; sklearn raises — so do we."""
+    y = np.array([0, 1, 0, 1])
+    s = np.array([0.1, 0.9, np.nan, 0.8])
+    with pytest.raises(ValueError, match='NaN'):
+        roc_auc_score(y, s)

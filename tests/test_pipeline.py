@@ -186,3 +186,46 @@ def test_include_global_num_coords_6(synth_dir, tmp_path):
     g = ds.data[:, 2:6]
     assert np.allclose(g, g[:, :, :, :1])
     assert np.all(np.isfinite(ds.data))
+
+
+def test_global_scaler_loads_train_artifact_on_validation(synth_dir,
+                                                          tmp_path):
+    """The reference's _val refit rule exists ONLY for the local scaler
+    (utils/get_robust_data.py:116-127); the global block (:85-90) always
+    loads the train-fitted artifact on non-train splits."""
+    cfg = _cfg(synth_dir, tmp_path)
+    cfg.num_coords = 6
+    build_dataset(cfg, 'train')
+    cfg_val = _cfg(synth_dir, tmp_path, split='validation')
+    cfg_val.num_coords = 6
+    cfg_val.validation = True
+    build_dataset(cfg_val, 'validation')
+    assert os.path.exists(os.path.join(str(tmp_path), 'local_robust.npz'))
+    assert os.path.exists(
+        os.path.join(str(tmp_path), 'local_robust_val.npz'))
+    assert os.path.exists(os.path.join(str(tmp_path), 'global_robust.npz'))
+    assert not os.path.exists(
+        os.path.join(str(tmp_path), 'global_robust_val.npz')), \
+        'global scaler must not refit on validation'
+
+
+def test_synthetic_frames_are_one_indexed(synth_dir):
+    """The scoring chain scatters window losses at frame-1 like the real
+    datasets; a 0-based synthetic frame would wrap to the clip's last
+    column and shift every score off its gt label."""
+    from mocodad_tpu.data import trajectories as T
+    trajs = T.load_trajectories(
+        os.path.join(synth_dir, 'testing', 'trajectories'), split='test')
+    all_frames = np.concatenate([t.frames for t in trajs.values()])
+    assert all_frames.min() >= 1
+
+
+def test_json_debug_clip_duplication_matches_reference(tmp_path):
+    """Debug mode (num_clips) appends the truncated list to itself —
+    doubling every debug clip (ref utils/dataset.py:144-145)."""
+    path = _make_json_clip(tmp_path)
+    kw = dict(seg_len=6, seg_stride=1, normalization_strategy='markovitz',
+              kp18_format=True, vid_res=[640, 360], symm_range=True)
+    data_all, *_ = json_pose_windows(path, **kw)
+    data_dbg, *_ = json_pose_windows(path, num_clips=1, **kw)
+    assert data_dbg.shape[0] == 2 * data_all.shape[0]

@@ -372,3 +372,15 @@ def test_latent_transfer_restores_batch_stats(tmp_path):
         return 0
 
     assert overlap_equal(want, got) > 0, 'no shared BN stats leaves found'
+
+
+def test_shard_batch_rejects_indivisible_batch():
+    """cfg.batch_size not a multiple of the device count used to surface
+    as an opaque device_put sharding error deep inside the first step —
+    it must be a clear config error instead."""
+    from mocodad_tpu.parallel import shard_batch
+    mesh = make_mesh(4)
+    with pytest.raises(ValueError, match='divisible'):
+        shard_batch({'data': np.zeros((6, 2, 6, 17), np.float32)}, mesh)
+    out = shard_batch({'data': np.zeros((8, 2, 6, 17), np.float32)}, mesh)
+    assert out['data'].shape == (8, 2, 6, 17)
