@@ -174,6 +174,10 @@ class MoCoDADModel:
         # sample, letting fewer generations match the AUC of more
         # independent ones (study: PERF_NOTES.md "Antithetic sampling").
         self.antithetic = bool(cfg.extras.get('antithetic', False))
+        # Per-layer matmul association in the fast eval forward: layers
+        # whose channel mix narrows run it before the TV^2 graph dot
+        # (exact algebra; measured win — tools/perf/probe_assoc.py).
+        self.assoc_narrowing = bool(cfg.extras.get('assoc_narrowing', True))
         self.net = self.build_net()
 
     # -- construction ---------------------------------------------------
@@ -472,7 +476,8 @@ class MoCoDADModel:
                 c_in=self.num_coords, n_frames=self.input_n_frames,
                 n_joints=self.n_joints,
                 embedding_dim=self.cfg.embedding_dim,
-                inject_condition=(self.strategy == 'inject'))
+                inject_condition=(self.strategy == 'inject'),
+                channel_first_when_narrowing=self.assoc_narrowing)
         return lambda x, tb, emb: self.net.apply(
             variables, x, tb, emb, method=MoCoDADNet.denoise)
 

@@ -13,6 +13,15 @@ like (TV, N*C) <-> (TV*N, C) makes XLA materialize physical tile
 relayouts each layer, which is ~6x SLOWER despite being "pure reshapes"
 on paper.
 
+Association lesson (measured, tools/perf/probe_assoc.py): the per-layer
+dot pair is associative — (K @ X) @ W == K @ (X @ W) — so layers whose
+channel mix NARROWS (C_out < C_in: d3_1 128->64, u4_1 64->32, u3_1
+32->2 on the flagship schedule) run channel-mix-first, putting the TV^2
+graph dot on the narrow side: ~14% fewer layer-dot FLOPs and the three
+largest fusion-boundary intermediates shrink (u3_1's by 16x).  Exact in
+real f32 (CPU max|delta| 1e-7); on the MXU the two associations differ
+by default-precision bf16 rounding only.
+
 Joint down/up-scaling becomes a block-diagonal operator
 D[(t,v),(t,w)] = M[v,w]; its per-joint BatchNorm becomes a per-row
 scale/shift.  The time/condition embedding adds per (N, C_out).
@@ -54,9 +63,15 @@ def _block_diag_joint_mix(kernel: jnp.ndarray, t_dim: int) -> jnp.ndarray:
 class _Layer:
     """Precomputed constants for one ST-GCNN layer in graph-major form."""
 
-    def __init__(self, p: Dict, s: Dict):
+    def __init__(self, p: Dict, s: Dict, channel_first: bool = False):
         # left operator: K^T so that  out = K_T @ X  ((TV_out, TV_in) @ ...)
         self.k_t = compose_graph_operator(p['gcn']['T'], p['gcn']['A']).T
+        # (K @ X) @ W == K @ (X @ W): when C_out < C_in, channel-mix-first
+        # runs the TV^2 graph dot on the narrower channel count — fewer
+        # FLOPs and a smaller fusion-boundary intermediate (exact algebra;
+        # bf16 reassociation noise only, bounded by the parity tests).
+        self.channel_first = channel_first and (
+            p['tcn_kernel'].shape[1] < p['tcn_kernel'].shape[0])
         self.w = p['tcn_kernel']
         self.b = p.get('tcn_bias')
         self.bn_scale, self.bn_shift = _fold_bn(p['tcn_bn'], s['tcn_bn'])
@@ -79,9 +94,14 @@ class _Layer:
         so XLA reads 'transposed' operands via dot_general dimension
         numbers instead of materializing tile relayouts."""
         dt = x.dtype
-        # graph mix then channel mix: one fused contraction pair
-        y = jnp.einsum('kx,xnc->knc', self.k_t.astype(dt), x)
-        y = jnp.einsum('knc,co->kno', y, self.w.astype(dt))
+        # graph mix + channel mix: one fused contraction pair, associated
+        # per-layer so the TV^2 dot sees min(C_in, C_out) channels
+        if self.channel_first:
+            y = jnp.einsum('xnc,co->xno', x, self.w.astype(dt))
+            y = jnp.einsum('kx,xno->kno', self.k_t.astype(dt), y)
+        else:
+            y = jnp.einsum('kx,xnc->knc', self.k_t.astype(dt), x)
+            y = jnp.einsum('knc,co->kno', y, self.w.astype(dt))
         if self.b is not None:
             y = y + self.b.astype(dt)
         y = y * self.bn_scale.astype(dt) + self.bn_shift.astype(dt)
@@ -124,7 +144,8 @@ class _JointMix:
 
 def build_fast_denoiser(params: Dict, batch_stats: Dict, *, c_in: int,
                         n_frames: int, n_joints: int, embedding_dim: int,
-                        inject_condition: bool = False):
+                        inject_condition: bool = False,
+                        channel_first_when_narrowing: bool = True):
     """Build fn(x_nctv, t, cond_emb) -> eps_nctv from an STSAEUnet variables
     tree ('model' subtree of MoCoDADNet), numerically matching
     nn/unet.py:STSAEUnet.__call__ in eval mode.  Channel widths come from
@@ -137,7 +158,8 @@ def build_fast_denoiser(params: Dict, batch_stats: Dict, *, c_in: int,
     t_dim = n_frames
 
     def L(name):
-        return _Layer(p[name], s[name])
+        return _Layer(p[name], s[name],
+                      channel_first=channel_first_when_narrowing)
 
     layers_a = [L('p1a'), L('d1_0'), L('d1_1')]
     down1 = _JointMix(p['down1'], s['down1'], t_dim)

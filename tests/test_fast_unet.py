@@ -55,6 +55,28 @@ def test_fast_denoiser_matches_module_forward(kw):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_association_rewrite_is_exact_algebra():
+    """channel-first-when-narrowing (the default) is (K@X)@W == K@(X@W):
+    on true f32 the two associations agree to float rounding."""
+    model = MoCoDADModel(_cfg())
+    variables = model.init_variables(jax.random.key(0))
+    kw = dict(c_in=2, n_frames=model.input_n_frames, n_joints=17,
+              embedding_dim=16, inject_condition=True)
+    P = variables['params']['model']
+    S = variables['batch_stats']['model']
+    graph_first = build_fast_denoiser(
+        P, S, channel_first_when_narrowing=False, **kw)
+    assoc = build_fast_denoiser(
+        P, S, channel_first_when_narrowing=True, **kw)
+    x = jax.random.normal(jax.random.key(1), (16, 2, model.input_n_frames,
+                                              17))
+    t = jnp.array([5] * 16)
+    emb = jax.random.normal(jax.random.key(2), (16, 16))
+    a = np.asarray(graph_first(x, t, emb))
+    b = np.asarray(assoc(x, t, emb))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
 def test_generate_fast_matches_module_path():
     cfg = _cfg()
     model_fast = MoCoDADModel(cfg)
