@@ -113,6 +113,61 @@ def forward_noise(schedule: DiffusionSchedule, rng: jax.Array,
     return sqrt_a * x + sqrt_1ma * eps, eps
 
 
+def ddim_timesteps(noise_steps: int, n_steps: int) -> np.ndarray:
+    """Descending timestep subsequence for DDIM sampling.
+
+    Picks `n_steps` (approximately) evenly spaced integers from the DDPM
+    chain's timestep range [1, noise_steps-1], always including the top
+    step (pure noise) so the chain starts where training's forward process
+    ends.  `n_steps >= noise_steps-1` degenerates to the full DDPM
+    timestep sequence.
+    """
+    full = noise_steps - 1
+    n = max(1, min(int(n_steps), full))
+    if n == 1:
+        ts = np.array([full], dtype=np.int64)
+    else:
+        ts = np.unique(np.round(np.linspace(1, full, n)).astype(np.int64))
+    return ts[::-1].copy()
+
+
+def ddim_plan(schedule: DiffusionSchedule, ts_desc: np.ndarray,
+              eta: float = 0.0
+              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-step affine coefficients for the DDIM update (Song et al. 2021,
+    eq. 12), precomputed on host in float64.
+
+    Step i moves x from timestep ts_desc[i] to ts_desc[i+1] (the final
+    step moves to the clean sample, alpha_hat_prev = 1, so its noise
+    coefficient is exactly 0 for any eta — mirroring the DDPM chain's
+    z = 0 at t == 1).  The update applied by the sampler is
+
+        x <- c_x * x + c_eps * eps_hat + c_z * z,      z ~ N(0, I)
+
+    which is the standard form
+        x_prev = sqrt(ah_prev) * x0_hat
+                 + sqrt(1 - ah_prev - sigma^2) * eps_hat + sigma * z,
+        x0_hat = (x - sqrt(1 - ah_t) * eps_hat) / sqrt(ah_t)
+    regrouped by (x, eps_hat, z).  eta = 0 gives the deterministic DDIM
+    sampler; eta = 1 gives the small-variance DDPM posterior (NOT the
+    reference's sqrt(beta) large-variance chain, models/mocodad.py:178 —
+    this sampler is a framework extension, not a parity surface).
+
+    Returns (c_x, c_eps, c_z) as float32 arrays of len(ts_desc).
+    """
+    ts_desc = np.asarray(ts_desc, dtype=np.int64)
+    ah_t = schedule.alpha_hat[ts_desc].astype(np.float64)
+    ah_prev = np.concatenate(
+        [schedule.alpha_hat[ts_desc[1:]].astype(np.float64), [1.0]])
+    sigma = eta * np.sqrt((1.0 - ah_prev) / (1.0 - ah_t)) \
+        * np.sqrt(np.maximum(1.0 - ah_t / ah_prev, 0.0))
+    c_x = np.sqrt(ah_prev / ah_t)
+    c_eps = np.sqrt(np.maximum(1.0 - ah_prev - sigma ** 2, 0.0)) \
+        - c_x * np.sqrt(1.0 - ah_t)
+    return (c_x.astype(np.float32), c_eps.astype(np.float32),
+            sigma.astype(np.float32))
+
+
 def reverse_sample(schedule: DiffusionSchedule,
                    denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
                    rng: jax.Array,

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mocodad_tpu.config import Config
-from mocodad_tpu.diffusion import (DiffusionSchedule, coef, forward_noise,
+from mocodad_tpu.diffusion import (DiffusionSchedule, coef, ddim_plan,
+                                   ddim_timesteps, forward_noise,
                                    make_schedule, sample_timesteps)
 from mocodad_tpu.models import frames as F
 from mocodad_tpu.models.losses import aggregate, elementwise_loss
@@ -174,6 +175,19 @@ class MoCoDADModel:
         # sample, letting fewer generations match the AUC of more
         # independent ones (study: PERF_NOTES.md "Antithetic sampling").
         self.antithetic = bool(cfg.extras.get('antithetic', False))
+        # Reverse sampler (opt-in, framework extension): 'ddpm' is the
+        # reference chain (models/mocodad.py:160-180); 'ddim' runs the
+        # deterministic (eta=0) Song et al. sampler over a subsequence of
+        # 'ddim_steps' timesteps — the denoise chain is ~96% of eval time
+        # (PERF_NOTES.md), so K steps cost ~K/(noise_steps-1) of the DDPM
+        # chain.  AUC study: PERF_NOTES.md "DDIM sampler".
+        self.sampler = str(cfg.extras.get('sampler', 'ddpm'))
+        if self.sampler not in ('ddpm', 'ddim'):
+            raise ValueError(f"sampler must be 'ddpm' or 'ddim', "
+                             f"got {self.sampler!r}")
+        self.ddim_steps = int(cfg.extras.get('ddim_steps',
+                                             cfg.noise_steps - 1))
+        self.ddim_eta = float(cfg.extras.get('ddim_eta', 0.0))
         # Per-layer matmul association in the fast eval forward: layers
         # whose channel mix narrows run it before the TV^2 graph dot
         # (exact algebra; measured win — tools/perf/probe_assoc.py).
@@ -302,8 +316,10 @@ class MoCoDADModel:
         loss-only aggregations, matching the reference.
 
         `noise_override`, when given, is `(x0, zs)` — the initial noise
-        (S*B, C, Tc, V) and the per-step noise (noise_steps-1, S*B, C,
-        Tc, V), both in the b-major sample fold (row = b*S + s).  It
+        (S*B, C, Tc, V) and the per-step noise (n_chain_steps, S*B, C,
+        Tc, V), both in the b-major sample fold (row = b*S + s);
+        n_chain_steps is noise_steps-1 for the DDPM sampler and the
+        length of the DDIM timestep subsequence otherwise.  It
         replaces the internal gaussian draws so the sampling chain can be
         compared step-for-step against an external oracle (the reference
         torch loop); normal callers never pass it.
@@ -341,7 +357,14 @@ class MoCoDADModel:
 
         corrupt_shape = (s * b, self.num_coords, self.n_frames_corrupt,
                          self.n_joints)
-        ts = jnp.arange(self.schedule.noise_steps - 1, 0, -1)
+        use_ddim = self.sampler == 'ddim'
+        if use_ddim:
+            ts_np = ddim_timesteps(self.schedule.noise_steps, self.ddim_steps)
+            cxs, ces, czs = (jnp.asarray(c) for c in
+                             ddim_plan(self.schedule, ts_np, self.ddim_eta))
+            ts = jnp.asarray(ts_np, dtype=jnp.int32)
+        else:
+            ts = jnp.arange(self.schedule.noise_steps - 1, 0, -1)
         antithetic = self.antithetic and s > 1 and noise_override is None
         if noise_override is not None:
             x0, z_src = noise_override
@@ -359,14 +382,32 @@ class MoCoDADModel:
 
         denoise_fn = self._make_denoise_fn(variables)
 
+        def draw_z(z_in, x):
+            if noise_override is not None:
+                return z_in
+            if antithetic:
+                return _mirror_fold(jax.random.normal(
+                    z_in, (b, (s + 1) // 2) + x.shape[1:], dtype=x.dtype), s)
+            return jax.random.normal(z_in, x.shape, dtype=x.dtype)
+
         def step(x, inputs):
-            t_scalar, z_in = inputs
+            if use_ddim:
+                t_scalar, cx_i, ce_i, cz_i, z_in = inputs
+            else:
+                t_scalar, z_in = inputs
             x_in = F.assemble_input(self.strategy, cond_tiled, x,
                                     order_tiled, self.n_frames_condition)
             tb = jnp.full((s * b,), t_scalar, dtype=jnp.int32)
             eps = denoise_fn(x_in, tb, emb_tiled)
             eps = F.extract_corrupt(self.strategy, eps, order_tiled,
                                     self.n_frames_condition)
+            if use_ddim:
+                # x <- c_x x + c_eps eps + c_z z (diffusion.ddim_plan);
+                # c_z == 0 everywhere when eta == 0, so skip the draw
+                x = cx_i.astype(x.dtype) * x + ce_i.astype(x.dtype) * eps
+                if self.ddim_eta != 0.0:
+                    x = x + cz_i.astype(x.dtype) * draw_z(z_in, x)
+                return x, None
             a = coef(self.schedule.alpha, t_scalar)
             a_hat = coef(self.schedule.alpha_hat, t_scalar)
             beta = coef(self.schedule.beta, t_scalar)
@@ -375,19 +416,13 @@ class MoCoDADModel:
             c1 = (1.0 / jnp.sqrt(a)).astype(x.dtype)
             c2 = ((1.0 - a) / jnp.sqrt(1.0 - a_hat)).astype(x.dtype)
             c3 = jnp.sqrt(beta).astype(x.dtype)
-            if noise_override is not None:
-                z = z_in
-            elif antithetic:
-                z = _mirror_fold(jax.random.normal(
-                    z_in, (b, (s + 1) // 2) + x.shape[1:], dtype=x.dtype), s)
-            else:
-                z = jax.random.normal(z_in, x.shape, dtype=x.dtype)
+            z = draw_z(z_in, x)
             z = jnp.where(t_scalar > 1, z, jnp.zeros_like(z))
             x = c1 * (x - c2 * eps) + c3 * z
             return x, None
 
-        x, _ = jax.lax.scan(step, x0, (ts, z_src),
-                            unroll=self.scan_unroll)
+        xs_in = (ts, cxs, ces, czs, z_src) if use_ddim else (ts, z_src)
+        x, _ = jax.lax.scan(step, x0, xs_in, unroll=self.scan_unroll)
         xs = x.reshape((b, s) + x.shape[1:]).astype(jnp.float32)
         xs = jnp.moveaxis(xs, 1, 0)  # (S, B, ...)
         return aggregate(aggr, self.loss_kind, xs,

@@ -237,30 +237,49 @@ class MoCoDADLatentModel(MoCoDADModel):
             z0 = jax.random.normal(r_init,
                                    (s * b, self.latent_embedding_dim),
                                    dtype=latent.dtype)
-        ts = jnp.arange(self.schedule.noise_steps - 1, 0, -1)
+        use_ddim = self.sampler == 'ddim'
+        if use_ddim:
+            from mocodad_tpu.diffusion import ddim_plan, ddim_timesteps
+            ts_np = ddim_timesteps(self.schedule.noise_steps, self.ddim_steps)
+            cxs, ces, czs = (jnp.asarray(c) for c in
+                             ddim_plan(self.schedule, ts_np, self.ddim_eta))
+            ts = jnp.asarray(ts_np, dtype=jnp.int32)
+        else:
+            ts = jnp.arange(self.schedule.noise_steps - 1, 0, -1)
         keys = jax.random.split(r_steps, ts.shape[0])
 
+        def draw_noise(key, z):
+            if antithetic:
+                from mocodad_tpu.models.mocodad import _mirror_fold
+                return _mirror_fold(jax.random.normal(
+                    key, (b, (s + 1) // 2, z.shape[-1]), dtype=z.dtype), s)
+            return jax.random.normal(key, z.shape, dtype=z.dtype)
+
         def step(z, inputs):
-            t_scalar, key = inputs
+            if use_ddim:
+                t_scalar, cx_i, ce_i, cz_i, key = inputs
+            else:
+                t_scalar, key = inputs
             tb = jnp.full((s * b,), t_scalar, dtype=jnp.int32)
             eps = self.net.apply(variables, z, tb, emb_tiled,
                                  method=MoCoDADLatentNet.denoise_latent)
+            if use_ddim:
+                z = cx_i.astype(z.dtype) * z + ce_i.astype(z.dtype) * eps
+                if self.ddim_eta != 0.0:
+                    z = z + cz_i.astype(z.dtype) * draw_noise(key, z)
+                return z, None
             a = coef(self.schedule.alpha, t_scalar)
             a_hat = coef(self.schedule.alpha_hat, t_scalar)
             beta = coef(self.schedule.beta, t_scalar)
-            if antithetic:
-                from mocodad_tpu.models.mocodad import _mirror_fold
-                noise = _mirror_fold(jax.random.normal(
-                    key, (b, (s + 1) // 2, z.shape[-1]), dtype=z.dtype), s)
-            else:
-                noise = jax.random.normal(key, z.shape, dtype=z.dtype)
+            noise = draw_noise(key, z)
             noise = jnp.where(t_scalar > 1, noise, jnp.zeros_like(noise))
             z = (1.0 / jnp.sqrt(a)) * (
                 z - ((1.0 - a) / jnp.sqrt(1.0 - a_hat)) * eps
             ) + jnp.sqrt(beta) * noise
             return z, None
 
-        z, _ = jax.lax.scan(step, z0, (ts, keys),
+        xs_in = (ts, cxs, ces, czs, keys) if use_ddim else (ts, keys)
+        z, _ = jax.lax.scan(step, z0, xs_in,
                             unroll=self.scan_unroll)
         zs = jnp.moveaxis(z.reshape(b, s, self.latent_embedding_dim), 1, 0)
         return aggregate(aggr, self.loss_kind, zs, latent, rng=r_aggr)

@@ -86,3 +86,73 @@ def test_reverse_sample_zero_net_reduces_variance():
     )(jax.random.key(3))
     np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted),
                                rtol=1e-5, atol=1e-6)
+
+
+# -- DDIM sampler (framework extension; Song et al. 2021 eq. 12) -----------
+
+def test_ddim_timesteps_selection():
+    # full request degenerates to the DDPM sequence T-1..1
+    np.testing.assert_array_equal(diffusion.ddim_timesteps(10, 9),
+                                  np.arange(9, 0, -1))
+    np.testing.assert_array_equal(diffusion.ddim_timesteps(10, 99),
+                                  np.arange(9, 0, -1))
+    # evenly spaced subsets keep both endpoints, descending
+    np.testing.assert_array_equal(diffusion.ddim_timesteps(10, 3),
+                                  np.array([9, 5, 1]))
+    np.testing.assert_array_equal(diffusion.ddim_timesteps(10, 2),
+                                  np.array([9, 1]))
+    # a single step starts from the top (pure noise), not t=1
+    np.testing.assert_array_equal(diffusion.ddim_timesteps(10, 1),
+                                  np.array([9]))
+
+
+def _ddim_oracle_chain(sched, ts_desc, eta, x, eps_fn, zs):
+    """Textbook DDIM update, literal form (x0_hat regrouping happens in
+    ddim_plan; this oracle keeps the published two-term expression)."""
+    x = np.asarray(x, np.float64)
+    for i, t in enumerate(ts_desc):
+        ah_t = float(sched.alpha_hat[t])
+        ah_p = float(sched.alpha_hat[ts_desc[i + 1]]) \
+            if i + 1 < len(ts_desc) else 1.0
+        eps = eps_fn(x, t)
+        x0_hat = (x - math.sqrt(1 - ah_t) * eps) / math.sqrt(ah_t)
+        sigma = eta * math.sqrt((1 - ah_p) / (1 - ah_t)) \
+            * math.sqrt(max(1 - ah_t / ah_p, 0.0))
+        x = math.sqrt(ah_p) * x0_hat \
+            + math.sqrt(max(1 - ah_p - sigma ** 2, 0.0)) * eps \
+            + sigma * zs[i]
+    return x
+
+
+@pytest.mark.parametrize('eta,k', [(0.0, 3), (0.7, 4), (1.0, 9)])
+def test_ddim_plan_matches_textbook_update(eta, k):
+    sched = diffusion.make_schedule(10)
+    ts = diffusion.ddim_timesteps(10, k)
+    cx, ce, cz = diffusion.ddim_plan(sched, ts, eta)
+    assert cx.shape == ce.shape == cz.shape == ts.shape
+
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(4, 5))
+    zs = rng.normal(size=(len(ts), 4, 5))
+
+    def eps_fn(x, t):
+        # deterministic stand-in denoiser with real t dependence
+        return 0.3 * x + 0.01 * t
+
+    want = _ddim_oracle_chain(sched, ts, eta, x0, eps_fn, zs)
+    x = x0.copy()
+    for i, t in enumerate(ts):
+        x = cx[i] * x + ce[i] * eps_fn(x, t) + cz[i] * zs[i]
+    np.testing.assert_allclose(x, want, rtol=1e-5, atol=1e-7)
+
+
+def test_ddim_final_step_is_noise_free_for_any_eta():
+    sched = diffusion.make_schedule(10)
+    for k in (1, 3, 9):
+        _, _, cz = diffusion.ddim_plan(sched, diffusion.ddim_timesteps(10, k),
+                                       eta=1.0)
+        assert cz[-1] == 0.0
+    # eta=0 is deterministic at every step
+    _, _, cz0 = diffusion.ddim_plan(sched, diffusion.ddim_timesteps(10, 5),
+                                    eta=0.0)
+    np.testing.assert_array_equal(cz0, np.zeros_like(cz0))

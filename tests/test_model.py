@@ -265,3 +265,59 @@ def test_e_unet_condition_arch_trains(latent):
     loss, metrics, _ = model.loss(variables, data, jax.random.key(2))
     assert np.isfinite(float(loss))
     assert 'loss_recons' not in metrics  # AE-only term
+
+
+def test_ddim_generate_smoke_and_eta0_determinism():
+    """sampler='ddim' (framework extension): a 3-step chain runs, and with
+    eta=0 the per-step noise injections are provably unused — overriding
+    them with garbage leaves the output bit-identical."""
+    cfg = _cfg(channels=[8, 4, 8], embedding_dim=8, h_dim=8, latent_dim=8,
+               noise_steps=10, n_generated_samples=2)
+    cfg.extras.update(sampler='ddim', ddim_steps=3)
+    model = MoCoDADModel(cfg)
+    variables = model.init_variables(jax.random.key(0))
+    data = jax.random.normal(jax.random.key(1), (4, 2, 6, 17)) * 0.1
+
+    sel, loss = model.generate(variables, data, jax.random.key(2))
+    assert sel.shape == (4, 2, 3, 17) and loss.shape == (4,)
+    assert np.isfinite(np.asarray(loss)).all()
+
+    b, s = 4, 2
+    x0 = jax.random.normal(jax.random.key(3), (s * b, 2, 3, 17))
+    zs_a = jnp.zeros((3, s * b, 2, 3, 17))
+    zs_b = jnp.full((3, s * b, 2, 3, 17), 7.0)
+    _, la = model.generate(variables, data, jax.random.key(2),
+                           noise_override=(x0, zs_a))
+    _, lb = model.generate(variables, data, jax.random.key(2),
+                           noise_override=(x0, zs_b))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    # eta>0 consumes the injected noise
+    cfg2 = _cfg(channels=[8, 4, 8], embedding_dim=8, h_dim=8, latent_dim=8,
+                noise_steps=10, n_generated_samples=2)
+    cfg2.extras.update(sampler='ddim', ddim_steps=3, ddim_eta=1.0)
+    model2 = MoCoDADModel(cfg2)
+    _, la2 = model2.generate(variables, data, jax.random.key(2),
+                             noise_override=(x0, zs_a))
+    _, lb2 = model2.generate(variables, data, jax.random.key(2),
+                             noise_override=(x0, zs_b))
+    assert not np.allclose(np.asarray(la2), np.asarray(lb2))
+
+
+def test_ddim_latent_generate_smoke():
+    cfg = _cfg(diffusion_on_latent=True, stage='diffusion',
+               latent_embedding_dim=64, hidden_sizes=[64, 128, 128, 64])
+    cfg.extras.update(sampler='ddim', ddim_steps=3)
+    model = MoCoDADLatentModel(cfg)
+    variables = model.init_variables(jax.random.key(0))
+    data = jax.random.normal(jax.random.key(1), (4, 2, 6, 17))
+    sel, loss = model.generate(variables, data, jax.random.key(3))
+    assert sel.shape == (4, 64)
+    assert loss.shape == (4,) and np.isfinite(np.asarray(loss)).all()
+
+
+def test_unknown_sampler_rejected():
+    cfg = _cfg()
+    cfg.extras['sampler'] = 'euler'
+    with pytest.raises(ValueError):
+        MoCoDADModel(cfg)
