@@ -30,7 +30,12 @@ aggregation adds a clip-global log1p amplitude term and the gaussian
 smoothing is non-causal (ref models/mocodad.py:399-401,
 utils/eval_utils.py:100-106).  `partial_scores` gives provisional
 per-frame scores mid-clip for monitoring; `finalize_clip` is the
-reference-exact result.
+reference-exact result.  For latency-sensitive deployments the
+config-extras sampling levers compose here unchanged: `sampler: ddim`
+with a short `ddim_steps` chain and/or `antithetic: true` at reduced
+`n_generated_samples` cut per-flush inference time roughly
+proportionally (measured AUC/throughput trade-off tables in
+PERF_NOTES.md).
 """
 
 from __future__ import annotations
