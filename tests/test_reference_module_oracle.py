@@ -350,3 +350,139 @@ def test_post_processing_matches_real_module(tmp_path):
     want = m.post_processing(out, np.zeros_like(out), trans, meta, frames)
     got = post_processing_from_config(out, trans, meta, frames, cfg)
     assert got == pytest.approx(want, abs=1e-9)
+
+
+def _write_hr_mask_tree(root, split, masks):
+    """Lay out {root}/{split}/test_frame_mask/{scene}_{clip}.npy exactly as
+    UBnormal ships its HR boolean masks (ref utils/eval_utils.py:176)."""
+    d = os.path.join(root, split, 'test_frame_mask')
+    os.makedirs(d, exist_ok=True)
+    for (scene, clip), m in masks.items():
+        np.save(os.path.join(d, f'{scene}_{clip}.npy'), m)
+
+
+def test_get_hr_ubnormal_mask_matches_reference(tmp_path, monkeypatch):
+    """Golden test of the HR-UBnormal mask loader vs the real reference
+    function (utils/eval_utils.py:169-185) on a synthetic npy tree,
+    including the test->testing / else->validating split mapping."""
+    from utils.eval_utils import get_hr_ubnormal_mask as ref_loader
+    from mocodad_tpu.eval.scoring import get_hr_ubnormal_mask
+
+    rs = np.random.RandomState(5)
+    masks = {(1, 2): rs.rand(37) > 0.3, (2, 11): rs.rand(54) > 0.5}
+    val_masks = {(1, 2): rs.rand(37) > 0.6}
+    root = str(tmp_path / 'data' / 'UBnormal' / 'hr_bool_masks')
+    _write_hr_mask_tree(root, 'testing', masks)
+    _write_hr_mask_tree(root, 'validating', val_masks)
+
+    # the reference resolves './data/UBnormal/hr_bool_masks' from CWD
+    monkeypatch.chdir(tmp_path)
+    for split in ('test', 'validation'):
+        want = ref_loader(split)
+        got = get_hr_ubnormal_mask(split, masks_root=root)
+        assert sorted(got) == sorted(want)
+        for key in want:
+            np.testing.assert_array_equal(got[key], want[key])
+
+
+def test_post_processing_hr_ubnormal_matches_real_module(
+        tmp_path, monkeypatch):
+    """use_hr=True scoring vs the real post_processing: the HR-UBnormal
+    branch (ref models/mocodad.py:404-407 + utils/eval_utils.py:169-185)
+    drops non-HR frames per masked clip before smoothing; clips without a
+    mask file pass through untouched.  AUC equality pins the masking
+    indexing, not just the mask constants."""
+    from mocodad_tpu.data import build_dataset, synthetic
+    from mocodad_tpu.eval.harness import post_processing_from_config
+
+    droot = str(tmp_path / 'data_ds')
+    synthetic.generate(droot, seed=63, n_clips_per_split=3, n_actors=3,
+                       n_frames=60)
+    gt_path = os.path.join(droot, 'testing', 'test_frame_mask')
+
+    # HR masks for 2 of the 3 clips (the third exercises the unmasked
+    # path); keep >= half the frames so both gt classes survive masking
+    rs = np.random.RandomState(64)
+    masks = {}
+    for f in sorted(os.listdir(gt_path)):
+        scene, clip = int(f.split('_')[0]), int(f.split('_')[1].split('.')[0])
+        if clip == 3:
+            continue
+        n = np.load(os.path.join(gt_path, f)).shape[0]
+        masks[(scene, clip)] = rs.rand(n) > 0.3
+    masks_root = str(tmp_path / 'data' / 'UBnormal' / 'hr_bool_masks')
+    _write_hr_mask_tree(masks_root, 'testing', masks)
+
+    cfg = Config(
+        split='test', data_dir=droot, exp_dir=str(tmp_path),
+        ckpt_dir=str(tmp_path), dataset_choice='UBnormal', seg_len=6,
+        conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
+        conditioning_architecture='AE', channels=[32, 16, 32],
+        embedding_dim=16, h_dim=32, latent_dim=16, dropout=0.0,
+        noise_steps=10, batch_size=64, num_coords=2, num_transform=2,
+        seg_stride=1, n_generated_samples=2, aggregation_strategy='best',
+        vid_res=[640, 360], normalization_strategy='robust', use_hr=True,
+        validation=False, seed=0, filter_kernel_size=4, frames_shift=3,
+        pad_size=2, test_path=gt_path, gt_path=gt_path)
+    cfg.extras['hr_masks_root'] = masks_root
+    build_dataset(cfg, 'train')
+    ds = build_dataset(cfg, 'test')
+    n = ds.num_samples
+    rs = np.random.RandomState(65)
+    out = np.concatenate([rs.rand(n).astype(np.float32) + 0.05
+                          for _ in range(2)])
+    trans = np.concatenate([np.zeros(n, np.int64), np.ones(n, np.int64)])
+    meta = np.concatenate([ds.meta, ds.meta])
+    frames = np.concatenate([ds.frames, ds.frames])
+
+    m = _ref_mocodad(gt_path=gt_path, num_transform=2, pad_size=2,
+                     use_hr=True)
+    monkeypatch.chdir(tmp_path)   # ref globs ./data/UBnormal/hr_bool_masks
+    want = m.post_processing(out, np.zeros_like(out), trans, meta, frames)
+    got = post_processing_from_config(out, trans, meta, frames, cfg)
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_post_processing_hr_avenue_matches_real_module(tmp_path):
+    """dataset_name='HR-Avenue' scoring vs the real post_processing: the
+    hardcoded per-clip Avenue masks (ref utils/eval_utils.py:152-166,
+    applied models/mocodad.py:408-411) gate clips 1/2/3/6/16 by clip id;
+    other clips pass through.  Clip gt lengths must equal the mask
+    lengths, as in the real dataset."""
+    from mocodad_tpu.eval.harness import post_processing
+    from mocodad_tpu.eval.scoring import get_avenue_mask
+
+    gt_path = str(tmp_path / 'gt')
+    os.makedirs(gt_path)
+    rs = np.random.RandomState(66)
+    avenue = get_avenue_mask()
+    # masked clips 1 (1439 frames) and 3 (923) + unmasked clip 4 (200)
+    clip_lens = {1: len(avenue[1]), 3: len(avenue[3]), 4: 200}
+    for clip, n in clip_lens.items():
+        gt = np.zeros(n, np.int64)
+        a = rs.randint(0, n - 40)
+        gt[a:a + 40] = 1
+        np.save(os.path.join(gt_path, f'1_{clip}.npy'), gt)
+
+    out, trans, meta, frames = [], [], [], []
+    for t in range(2):
+        for clip, n in clip_lens.items():
+            for person in range(2):
+                for start in range(1, n - 6, 7):
+                    out.append(rs.rand() + 0.05)
+                    trans.append(t)
+                    meta.append([1, clip, person, start])
+                    frames.append(np.arange(start, start + 6))
+    out = np.asarray(out, np.float32)
+    trans = np.asarray(trans, np.int64)
+    meta = np.asarray(meta, np.int64)
+    frames = np.asarray(frames, np.int64)
+
+    m = _ref_mocodad(gt_path=gt_path, num_transform=2, pad_size=-1,
+                     dataset_choice='HR-Avenue')
+    want = m.post_processing(out, np.zeros_like(out), trans, meta, frames)
+    got = post_processing(out, trans, meta, frames, gt_path=gt_path,
+                          num_transform=2, dataset_name='HR-Avenue',
+                          split='test', use_hr=False, pad_size=-1,
+                          filter_kernel_size=4, frames_shift=3)
+    assert got == pytest.approx(want, abs=1e-9)

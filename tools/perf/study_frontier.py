@@ -1,0 +1,249 @@
+"""Fast-eval frontier: composed sampler x antithetic x sample-count grid.
+
+Round-3 measured two levers in isolation: the DDIM short chain (K=2:
+21.4k w/s at ~the ddpm AUC, one operating point) and antithetic
+sampling (recovers most of the S=10 degradation).  This study composes
+them — the grid the round-3 verdict asked for:
+
+    sampler {ddpm-9, ddim-3, ddim-2}
+  x sampling {independent, antithetic}
+  x S {50, 26, 10}
+  x aggregation {best, mean}
+  x 3 sampling seeds
+  x 3 synthetic operating points (anomaly_strength spanning the model's
+    noise floor to easy: 0.008 / 0.012 / 0.02)
+
+plus a throughput grid (sampler x sampling x S) at bench settings
+(B=2048, bf16 + tuned compiler options).  The ddpm-9 x independent x
+S=50 cell is the reference protocol
+(/root/reference/config/UBnormal/mocodad_test.yaml:54,68; chain
+/root/reference/models/mocodad.py:160-180); every other cell is a
+documented protocol extension.
+
+Results accumulate in RESULTS (JSON) so an interrupted run resumes
+without redoing finished cells; models are checkpointed per operating
+point the same way.  Summary table prints at the end and is transcribed
+into PERF_NOTES.md ("Fast-eval frontier").
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.expanduser('~/.cache/jax_comp'))
+
+import jax
+import numpy as np
+
+ROOT = '/tmp/frontier_study'
+RESULTS = os.path.join(ROOT, 'results.json')
+
+OPERATING_POINTS = [('floor', 0.008), ('mid', 0.012), ('easy', 0.02)]
+SAMPLERS = [('ddpm', 9), ('ddim', 3), ('ddim', 2)]
+S_LIST = [50, 26, 10]
+AGGRS = ['best', 'mean']
+N_SEEDS = 3
+
+
+def build_cfg(data_dir, ckpt_dir, **kw):
+    from mocodad_tpu.config import Config
+    base = dict(
+        split='train', data_dir=data_dir, exp_dir=ckpt_dir,
+        ckpt_dir=ckpt_dir, dataset_choice='UBnormal', seg_len=6,
+        conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
+        conditioning_architecture='AE', channels=[32, 16, 32],
+        embedding_dim=16, h_dim=32, latent_dim=16, dropout=0.0,
+        noise_steps=10, opt_lr=1e-3, batch_size=2048, num_coords=2,
+        num_transform=2, seg_stride=1, n_generated_samples=5,
+        aggregation_strategy='best', model_return_value='loss',
+        vid_res=[640, 360], normalization_strategy='robust',
+        use_hr=False, validation=False, seed=11,
+        filter_kernel_size=5, frames_shift=2, pad_size=-1,
+        test_path=os.path.join(data_dir, 'testing', 'test_frame_mask'),
+        gt_path=os.path.join(data_dir, 'testing', 'test_frame_mask'))
+    base.update(kw)
+    return Config(**base)
+
+
+def load_results():
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            return json.load(f)
+    return {}
+
+
+def save_results(res):
+    tmp = RESULTS + '.tmp'
+    with open(tmp, 'w') as f:
+        json.dump(res, f, indent=1, sort_keys=True)
+    os.replace(tmp, RESULTS)
+
+
+def get_variables(op_name, strength):
+    """Train (or reload) the flagship model for one operating point."""
+    from mocodad_tpu.data import build_dataset, synthetic
+    from mocodad_tpu.training.loop import Trainer
+
+    data_dir = os.path.join(ROOT, f'data_{op_name}')
+    ckpt_dir = os.path.join(ROOT, f'ckpt_{op_name}')
+    if not os.path.exists(os.path.join(data_dir, 'training')):
+        synthetic.generate(data_dir, seed=3, n_clips_per_split=4,
+                           n_actors=4, n_frames=300,
+                           anomaly_strength=strength)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    cfg = build_cfg(data_dir, ckpt_dir)
+
+    params_npz = os.path.join(ckpt_dir, 'frontier_params.npz')
+    train_ds = build_dataset(cfg, 'train')
+    test_ds = build_dataset(cfg, 'test')
+    trainer = Trainer(cfg)
+    if os.path.exists(params_npz):
+        import pickle
+        with open(params_npz, 'rb') as f:
+            variables = pickle.load(f)
+        print(f'[{op_name}] reloaded trained params', flush=True)
+    else:
+        t0 = time.perf_counter()
+        state = trainer.fit(train_ds, n_epochs=12)
+        variables = {'params': jax.device_get(state.params),
+                     'batch_stats': jax.device_get(state.batch_stats)}
+        import pickle
+        with open(params_npz, 'wb') as f:
+            pickle.dump(variables, f)
+        print(f'[{op_name}] trained in {time.perf_counter() - t0:.0f}s '
+              f'({train_ds.num_samples} train windows)', flush=True)
+    return cfg, test_ds, variables
+
+
+def auc_grid(op_name, cfg, test_ds, variables, res):
+    from mocodad_tpu.config import from_dict
+    from mocodad_tpu.eval.harness import post_processing_from_config
+    from mocodad_tpu.models import MoCoDADModel
+    from mocodad_tpu.training.loop import Trainer
+
+    for sampler, k in SAMPLERS:
+        for anti in (False, True):
+            for s in S_LIST:
+                for aggr in AGGRS:
+                    key = f'auc/{op_name}/{sampler}-{k}/' \
+                          f'{"anti" if anti else "ind"}/S{s}/{aggr}'
+                    if key in res:
+                        continue
+                    aucs = []
+                    for seed in range(N_SEEDS):
+                        raw = cfg.to_dict()
+                        raw.update(n_generated_samples=s,
+                                   aggregation_strategy=aggr,
+                                   split='test')
+                        c2 = from_dict(raw)
+                        c2.extras.update(eval_dtype='bfloat16',
+                                         fast_eval=True)
+                        if sampler == 'ddim':
+                            c2.extras.update(sampler='ddim', ddim_steps=k)
+                        if anti:
+                            c2.extras['antithetic'] = True
+                        ev = Trainer(c2, MoCoDADModel(c2))
+                        out, trans, meta, frames = ev.evaluate(
+                            test_ds, variables, jax.random.key(1000 + seed))
+                        aucs.append(float(post_processing_from_config(
+                            out, trans, meta, frames, c2)))
+                    res[key] = aucs
+                    save_results(res)
+                    print(f'{key}: '
+                          + ' '.join(f'{a:.4f}' for a in aucs)
+                          + f'  (mean {np.mean(aucs):.4f} spread '
+                            f'{np.max(aucs) - np.min(aucs):.4f})',
+                          flush=True)
+
+
+def throughput_grid(cfg, variables, res):
+    """Bench-protocol timing per frontier point (B=2048, bf16+tuned).
+
+    Operating point is irrelevant to throughput — one model's params
+    serve all timing cells."""
+    from mocodad_tpu.config import from_dict
+    from mocodad_tpu.models import MoCoDADModel
+    from mocodad_tpu.ops.xla_tuning import tuned_compiler_options
+
+    batch = 2048
+    data = jax.random.normal(jax.random.key(1), (batch, 2, 6, 17))
+    for sampler, k in SAMPLERS:
+        for anti in (False, True):
+            for s in S_LIST:
+                key = f'wps/{sampler}-{k}/' \
+                      f'{"anti" if anti else "ind"}/S{s}'
+                if key in res:
+                    continue
+                raw = cfg.to_dict()
+                raw.update(n_generated_samples=s, batch_size=batch)
+                c2 = from_dict(raw)
+                c2.extras.update(eval_dtype='bfloat16', fast_eval=True)
+                if sampler == 'ddim':
+                    c2.extras.update(sampler='ddim', ddim_steps=k)
+                if anti:
+                    c2.extras['antithetic'] = True
+                model = MoCoDADModel(c2)
+                fn = jax.jit(lambda v, d, r: model.generate(v, d, r),
+                             compiler_options=tuned_compiler_options())
+                for i in range(2):
+                    np.asarray(fn(variables, data, jax.random.key(i))[1])
+                t0 = time.perf_counter()
+                last = None
+                iters = 5
+                for i in range(iters):
+                    last = fn(variables, data, jax.random.key(100 + i))[1]
+                np.asarray(last)  # host-fetch fence (PERF_NOTES rule)
+                dt = (time.perf_counter() - t0) / iters
+                res[key] = {'windows_per_sec': round(batch / dt, 1),
+                            'ms_per_batch': round(dt * 1e3, 1)}
+                save_results(res)
+                print(f'{key}: {batch / dt:,.0f} w/s '
+                      f'({dt * 1e3:.1f} ms/batch)', flush=True)
+
+
+def summarize(res):
+    print('\n=== frontier summary (AUC mean over seeds, per cell) ===',
+          flush=True)
+    for sampler, k in SAMPLERS:
+        for anti in (False, True):
+            for s in S_LIST:
+                mode = 'anti' if anti else 'ind'
+                wps = res.get(f'wps/{sampler}-{k}/{mode}/S{s}', {})
+                row = [f'{sampler}-{k} {mode:4s} S={s:2d}',
+                       f'{wps.get("windows_per_sec", 0):>8,.0f} w/s']
+                for op_name, _ in OPERATING_POINTS:
+                    for aggr in AGGRS:
+                        key = f'auc/{op_name}/{sampler}-{k}/' \
+                              f'{mode}/S{s}/{aggr}'
+                        vals = res.get(key)
+                        row.append(f'{op_name[:2]}/{aggr[0]} '
+                                   f'{np.mean(vals):.4f}' if vals
+                                   else f'{op_name[:2]}/{aggr[0]} ----')
+                print('  '.join(row), flush=True)
+
+
+def main():
+    from mocodad_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache(os.environ['JAX_COMPILATION_CACHE_DIR'])
+    os.makedirs(ROOT, exist_ok=True)
+    res = load_results()
+
+    first_cfg = None
+    first_vars = None
+    for op_name, strength in OPERATING_POINTS:
+        cfg, test_ds, variables = get_variables(op_name, strength)
+        if first_cfg is None:
+            first_cfg, first_vars = cfg, variables
+        auc_grid(op_name, cfg, test_ds, variables, res)
+
+    throughput_grid(first_cfg, first_vars, res)
+    summarize(res)
+    print('DONE', flush=True)
+
+
+if __name__ == '__main__':
+    main()
