@@ -168,6 +168,23 @@ class MoCoDADModel:
         # probe_unroll_ab.py).  Default stays 1 ('auto' == 1).
         su = cfg.extras.get('scan_unroll', 'auto')
         self.scan_unroll = 1 if su == 'auto' else max(1, int(su))
+        # Named eval profile (opt-in, framework extension): 'fast'
+        # composes the two measured fast-eval levers — short
+        # deterministic DDIM chains + antithetic draws — into one knob,
+        # with the measured AUC cost documented in PERF_NOTES.md
+        # ("Fast-eval frontier").  Explicitly-set keys win over the
+        # profile's defaults; without a profile the parity default stays
+        # the reference chain (ddpm, noise_steps-1 steps,
+        # ref models/mocodad.py:160-180).
+        profile = cfg.extras.get('eval_profile')
+        if profile not in (None, 'fast'):
+            raise ValueError(f"eval_profile must be 'fast' or unset, "
+                             f"got {profile!r}")
+        if profile == 'fast':
+            cfg.extras.setdefault('sampler', 'ddim')
+            if cfg.extras['sampler'] == 'ddim':
+                cfg.extras.setdefault('ddim_steps', 2)
+            cfg.extras.setdefault('antithetic', True)
         # Antithetic sampling (opt-in, framework extension): draw half the
         # gaussians and mirror them per window (pairs (z, -z) for x0 and
         # every step injection), a classic variance-reduction trick — the

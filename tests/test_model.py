@@ -321,3 +321,31 @@ def test_unknown_sampler_rejected():
     cfg.extras['sampler'] = 'euler'
     with pytest.raises(ValueError):
         MoCoDADModel(cfg)
+
+
+def test_eval_profile_fast_expands_and_respects_overrides():
+    """`eval_profile: fast` composes ddim-2 + antithetic (PERF_NOTES
+    "Fast-eval frontier"); explicit keys win over the profile defaults,
+    and no profile leaves the reference chain untouched."""
+    cfg = _cfg()
+    cfg.extras['eval_profile'] = 'fast'
+    m = MoCoDADModel(cfg)
+    assert (m.sampler, m.ddim_steps, m.antithetic) == ('ddim', 2, True)
+
+    cfg2 = _cfg()
+    cfg2.extras.update(eval_profile='fast', sampler='ddpm',
+                       antithetic=False)
+    m2 = MoCoDADModel(cfg2)
+    assert m2.sampler == 'ddpm' and m2.antithetic is False
+
+    cfg3 = _cfg()
+    cfg3.extras.update(eval_profile='fast', ddim_steps=3)
+    assert MoCoDADModel(cfg3).ddim_steps == 3
+
+    base = MoCoDADModel(_cfg())
+    assert (base.sampler, base.antithetic) == ('ddpm', False)
+
+    cfg4 = _cfg()
+    cfg4.extras['eval_profile'] = 'turbo'
+    with pytest.raises(ValueError, match='eval_profile'):
+        MoCoDADModel(cfg4)
