@@ -35,7 +35,28 @@ config-extras sampling levers compose here unchanged: `sampler: ddim`
 with a short `ddim_steps` chain and/or `antithetic: true` at reduced
 `n_generated_samples` cut per-flush inference time roughly
 proportionally (measured AUC/throughput trade-off tables in
-PERF_NOTES.md).
+PERF_NOTES.md; `eval_profile: fast` composes both).
+
+Backpressure & overload (sustained push rate > device drain rate):
+
+* device side — at most `max_pending_batches` launched micro-batches may
+  be in flight; `flush` synchronously drains the OLDEST in-flight batch
+  beyond that, so producers throttle to device speed and in-flight
+  memory is bounded at `max_pending_batches x batch_size` windows.
+* host side — a `push` that would take the pending-window queue past
+  `max_queue_windows` first dispatches any full batches (throttled as
+  above, so it may block); if the queue still cannot fit the new
+  window's views (cap below batch_size, or trailing partial batches) it
+  REFUSES with `OverloadError` before recording anything.  Refusal is
+  deterministic (a pure queue-length threshold), the refused pose is
+  not recorded anywhere, and the scorer stays fully usable — callers
+  shed load at ingestion and may retry after `flush(force=True)`.
+* per-clip score accumulators grow with scored windows by design (the
+  reference scoring chain is clip-global); `finalize_clip`/`drop_clip`
+  are the release points for long-running services.
+
+Measured overload latency (p50/p99 per push) lives in
+tools/perf/probe_serve_latency.py's sustained-overload phase.
 """
 
 from __future__ import annotations
@@ -46,6 +67,14 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from mocodad_tpu.config import Config
+
+
+class OverloadError(RuntimeError):
+    """Raised by `StreamScorer.push` when the pending-window queue cannot
+    fit the new window's views even after dispatching full batches: the
+    service is overloaded and the caller must `flush(force=True)` (or
+    drop clips) before retrying.  The refused pose is NOT recorded —
+    ingestion-side load shedding."""
 
 
 class _Track:
@@ -67,11 +96,21 @@ class StreamScorer:
     batch_size: static micro-batch size (windows x views per launch).
     flush_every: auto-flush whenever this many windows x views are
         pending; None flushes only on demand / finalize.
+    max_pending_batches: bound on launched-but-undrained micro-batches;
+        `flush` drains the oldest beyond this (device-side backpressure:
+        producers block until the device catches up).
+    max_queue_windows: bound on the host-side pending-window queue; a
+        `push` that would exceed it dispatches full batches first, then
+        raises `OverloadError` before recording anything if the window's
+        views still do not fit (deterministic ingestion-side refusal).
+        Defaults to 64 x batch_size.
     """
 
     def __init__(self, cfg: Config, variables: Optional[Dict] = None,
                  batch_size: int = 256,
-                 flush_every: Optional[int] = None):
+                 flush_every: Optional[int] = None,
+                 max_pending_batches: int = 8,
+                 max_queue_windows: Optional[int] = None):
         import jax
 
         from mocodad_tpu.data.scalers import load_scaler
@@ -127,6 +166,15 @@ class StreamScorer:
         self.mats = affine_transform_matrices(self.num_transform)
         self.batch_size = int(batch_size)
         self.flush_every = flush_every
+        if max_pending_batches < 1:
+            raise ValueError('max_pending_batches must be >= 1')
+        self.max_pending_batches = int(max_pending_batches)
+        self.max_queue_windows = (64 * self.batch_size
+                                  if max_queue_windows is None
+                                  else int(max_queue_windows))
+        if self.max_queue_windows < self.num_transform:
+            raise ValueError('max_queue_windows must fit at least one '
+                             f'window x its {self.num_transform} views')
         self.seg_len = cfg.seg_len
 
         self._tracks: Dict[Tuple[int, int, int], _Track] = \
@@ -175,6 +223,19 @@ class StreamScorer:
         are emitted over arrival positions exactly like the offline
         windowing (data/windows.py window_index_matrix with the eval
         split's stride 1)."""
+        if len(self._q_data) + self.num_transform > self.max_queue_windows:
+            # host-queue cap: dispatch any full batches first (throttled
+            # by max_pending_batches, so this may block on the device);
+            # if that cannot get the queue under the cap (cap below
+            # batch_size, or trailing partial batches), refuse BEFORE
+            # recording anything.
+            self.flush()
+            if (len(self._q_data) + self.num_transform
+                    > self.max_queue_windows):
+                raise OverloadError(
+                    f'pending-window queue at {len(self._q_data)} '
+                    f'(max_queue_windows={self.max_queue_windows}); '
+                    'flush() or drop_clip() before retrying')
         kp = np.asarray(keypoints, dtype=np.float32)
         # every supported config consumes the 17-joint CSV layout (kp18/
         # headless are derived downstream); reject wrong-arity poses HERE
@@ -261,18 +322,26 @@ class StreamScorer:
                               self._batch_idx)
             self._batch_idx += 1
             self._pending_dev.append((loss, trans[:n], meta, frames, n))
+            while len(self._pending_dev) > self.max_pending_batches:
+                # device-side backpressure: block on the OLDEST in-flight
+                # batch so launched-but-undrained memory stays bounded at
+                # max_pending_batches x batch_size windows
+                self._drain_one()
+
+    def _drain_one(self) -> None:
+        loss, trans, meta, frames, n = self._pending_dev.pop(0)
+        loss = np.asarray(loss)[:n]   # host fetch = sync on this batch
+        for i in range(n):
+            key = (int(meta[i, 0]), int(meta[i, 1]))
+            r = self._scored[key]
+            r['loss'].append(float(loss[i]))
+            r['trans'].append(int(trans[i]))
+            r['meta'].append(meta[i])
+            r['frames'].append(frames[i])
 
     def _drain(self) -> None:
-        for loss, trans, meta, frames, n in self._pending_dev:
-            loss = np.asarray(loss)[:n]
-            for i in range(n):
-                key = (int(meta[i, 0]), int(meta[i, 1]))
-                r = self._scored[key]
-                r['loss'].append(float(loss[i]))
-                r['trans'].append(int(trans[i]))
-                r['meta'].append(meta[i])
-                r['frames'].append(frames[i])
-        self._pending_dev.clear()
+        while self._pending_dev:
+            self._drain_one()
 
     # -- scoring ------------------------------------------------------------
 

@@ -238,3 +238,65 @@ def test_all_aggregation_rejected(synth, fitted):
     cfg = _cfg(synth, fitted.ckpt_dir, aggregation_strategy='all')
     with pytest.raises(ValueError):
         StreamScorer(cfg, variables=None)
+
+
+def test_overload_backpressure_bounds_inflight_batches(synth, fitted):
+    """Sustained push rate > drain rate: launched-but-undrained batches
+    never exceed max_pending_batches (flush drains the oldest beyond the
+    bound), and every window is still scored exactly once."""
+    cfg = fitted
+    scorer = StreamScorer(cfg, variables=_init_vars(cfg), batch_size=8,
+                          flush_every=8, max_pending_batches=2)
+    rs = np.random.RandomState(3)
+    max_seen = 0
+    n_pushes = 0
+    for frame in range(1, 60):
+        for person in range(2):
+            scorer.push(1, 1, person, frame,
+                        rs.rand(17, 2).astype(np.float32) * 100 + 10)
+            n_pushes += 1
+            max_seen = max(max_seen, len(scorer._pending_dev))
+    assert max_seen <= 2, \
+        f'{max_seen} in-flight batches despite max_pending_batches=2'
+    # every completed window (2 actors x 54 windows x 2 views) is scored
+    scores = scorer.finalize_clip(1, 1, n_frames=60)
+    assert scores.shape == (60,) and np.all(np.isfinite(scores))
+    assert not scorer._pending_dev and not scorer._q_data
+
+
+def test_overload_refusal_is_deterministic_and_recoverable(synth, fitted):
+    """With a host-queue cap below the batch size, push refuses with
+    OverloadError exactly at the documented threshold, records nothing
+    for the refused pose, and the scorer keeps working after a forced
+    flush."""
+    from mocodad_tpu.serve import OverloadError
+
+    cfg = fitted   # num_transform=2 -> each window enqueues 2 views
+    scorer = StreamScorer(cfg, variables=_init_vars(cfg), batch_size=32,
+                          max_queue_windows=6)
+    rs = np.random.RandomState(4)
+
+    def push_frame(frame):
+        scorer.push(1, 1, 0, frame,
+                    rs.rand(17, 2).astype(np.float32) * 100 + 10)
+
+    # frames 1..5 fill the ring buffer; each further frame emits one
+    # window (2 views).  Cap 6 => windows at frames 6,7,8 fit (queue
+    # 2/4/6), frame 9 must refuse: 6 + 2 > 6 and no full batch to flush.
+    for frame in range(1, 9):
+        push_frame(frame)
+    assert scorer.pending == 6
+    state_before = (len(scorer._tracks[(1, 1, 0)].frames), scorer.pending)
+    with pytest.raises(OverloadError, match='max_queue_windows=6'):
+        push_frame(9)
+    # the refused pose mutated nothing: ring buffer and queue unchanged
+    assert (len(scorer._tracks[(1, 1, 0)].frames),
+            scorer.pending) == state_before
+
+    # recovery: a forced flush drains the queue; the same push succeeds
+    scorer.flush(force=True)
+    assert scorer.pending == 0
+    push_frame(9)
+    assert scorer.pending == 2
+    scores = scorer.finalize_clip(1, 1, n_frames=12)
+    assert scores.shape == (12,) and np.all(np.isfinite(scores))

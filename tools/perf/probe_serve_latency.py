@@ -98,6 +98,34 @@ def main():
           f'{(time.perf_counter() - t0)*1e3:.0f} ms '
           f'(scores finite: {np.isfinite(scores).all()})', flush=True)
 
+    # sustained overload: push as fast as the host can (>> device drain
+    # rate) with auto-flush + a tight in-flight bound.  Per-push latency
+    # is bimodal — ~us for buffered pushes, ~flush time when the push
+    # triggers a batch whose dispatch must first drain the oldest
+    # in-flight batch (serve.py backpressure) — so report p50/p99/max
+    # and the measured memory bounds.
+    scorer2 = StreamScorer(cfg, variables=variables, batch_size=BATCH,
+                           flush_every=BATCH, max_pending_batches=2)
+    lat, max_inflight, max_queue = [], 0, 0
+    frames_n = (6 * BATCH) // (5 * N_ACTORS) + cfg.seg_len
+    for f in range(frames_n):
+        for p in range(N_ACTORS):
+            kp = rs.uniform(100, 400, size=(17, 2)).astype(np.float32)
+            t0 = time.perf_counter()
+            scorer2.push(0, 1, p, f + 1, kp)
+            lat.append(time.perf_counter() - t0)
+            max_inflight = max(max_inflight, len(scorer2._pending_dev))
+            max_queue = max(max_queue, scorer2.pending)
+    lat = np.sort(np.asarray(lat))
+    print(f'sustained overload ({len(lat)} pushes, flush_every={BATCH}, '
+          f'max_pending_batches=2): per-push p50 '
+          f'{lat[len(lat)//2]*1e6:.0f} us, p99 '
+          f'{lat[int(len(lat)*0.99)]*1e3:.1f} ms, max '
+          f'{lat[-1]*1e3:.0f} ms; bounds held: in-flight {max_inflight} '
+          f'batches (<=2), host queue {max_queue} windows '
+          f'(<{BATCH + 5})', flush=True)
+    scorer2.drop_clip(0, 1)
+
 
 if __name__ == '__main__':
     main()
