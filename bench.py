@@ -263,11 +263,12 @@ def main():
             print(f'f32 measurement failed ({str(e)[:120]})',
                   file=sys.stderr)
 
-    # Fast-eval profile (documented protocol EXTENSION, not the parity
-    # default): DDIM-2 deterministic chains + antithetic draws at the
-    # same S=50 — the measured AUC cost is in PERF_NOTES.md "Fast-eval
-    # frontier"; the headline above stays on the reference protocol
-    # (ddpm, 9 steps).
+    # Fast-eval profile (documented protocol deviation, not the parity
+    # default): the reference DDPM chain with the Monte-Carlo sample
+    # count capped at 10 — measured AUC-free to within seed noise at
+    # four synthetic operating points (PERF_NOTES.md "Fast-eval
+    # frontier"); the headline above stays on the full reference
+    # protocol (50 samples x 9 steps).
     fast_wps = None
     if os.environ.get('MOCODAD_BENCH_FAST_PROFILE', '1') != '0':
         try:
@@ -341,11 +342,12 @@ def main():
         out['fast_profile_vs_baseline'] = round(
             fast_wps / BASELINE_WINDOWS_PER_SEC, 2)
         out['fast_profile_derivation'] = (
-            'documented protocol extension (eval_profile: fast = ddim-2 '
-            'deterministic chains + antithetic draws, S=50); measured '
-            'AUC cost vs the reference protocol in PERF_NOTES.md '
-            '"Fast-eval frontier"; the headline metric above stays on '
-            'the reference protocol (ddpm, 9 steps)')
+            'documented protocol deviation (eval_profile: fast = the '
+            'reference DDPM chain with n_generated_samples capped at '
+            '10); measured AUC-free to within seed noise at 4 synthetic '
+            'operating points spanning AUC 0.64-0.91 (PERF_NOTES.md '
+            '"Fast-eval frontier"); the headline metric above stays on '
+            'the full reference protocol (50 samples x 9 steps)')
     if train_wps is not None:
         out['training_windows_per_sec'] = round(train_wps, 1)
     if baseline_measured is not None:

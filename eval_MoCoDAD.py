@@ -27,8 +27,9 @@ def main():
         # model_return_value 'pose'/'all' carry the loss route in a
         # separate 'loss' tensor (see pack_prediction_tensors) — prefer it
         # so scoring stays correct regardless of what 'prediction' holds.
+        from mocodad_tpu.config import effective_n_generated_samples
         t = load_tensors(cfg.ckpt_dir, cfg.split, cfg.aggregation_strategy,
-                         cfg.n_generated_samples)
+                         effective_n_generated_samples(cfg))
         pred = t.get('loss', t['prediction'])
         auc = post_processing_from_config(
             pred, t['trans'], t['metadata'], t['frames'], cfg)

@@ -289,6 +289,18 @@ def copy_config_to_ckpt_dir(cfg: Config, config_path: str) -> None:
             shutil.copyfile(config_path, dst)
 
 
+def effective_n_generated_samples(cfg: Config) -> int:
+    """Monte-Carlo sample count after the `eval_profile: fast` cap
+    (measured AUC-free at S~10 under the reference DDPM chain across
+    four synthetic operating points — PERF_NOTES.md "Fast-eval
+    frontier").  Single source of truth for the model and for artifact
+    naming (saved_tensors_{split}_{aggr}_{n} replay directories)."""
+    n = cfg.n_generated_samples
+    if cfg.extras.get('eval_profile') == 'fast':
+        n = min(n, int(cfg.extras.get('fast_profile_samples', 10)))
+    return n
+
+
 def flagship_config(**overrides) -> Config:
     """The flagship model architecture (UBnormal inject/AE — the paper's
     headline configuration, config/UBnormal/mocodad_train.yaml): ONE

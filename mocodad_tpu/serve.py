@@ -31,11 +31,11 @@ smoothing is non-causal (ref models/mocodad.py:399-401,
 utils/eval_utils.py:100-106).  `partial_scores` gives provisional
 per-frame scores mid-clip for monitoring; `finalize_clip` is the
 reference-exact result.  For latency-sensitive deployments the
-config-extras sampling levers compose here unchanged: `sampler: ddim`
-with a short `ddim_steps` chain and/or `antithetic: true` at reduced
-`n_generated_samples` cut per-flush inference time roughly
-proportionally (measured AUC/throughput trade-off tables in
-PERF_NOTES.md; `eval_profile: fast` composes both).
+config-extras sampling levers compose here unchanged: `eval_profile:
+fast` (S capped at 10 under the reference chain — measured AUC-free,
+PERF_NOTES.md "Fast-eval frontier") cuts per-flush inference ~4.9x, and
+`sampler: ddim` with a short `ddim_steps` chain cuts further at a
+measured AUC cost that grows with how separable the anomalies are.
 
 Backpressure & overload (sustained push rate > device drain rate):
 

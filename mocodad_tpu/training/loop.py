@@ -660,5 +660,9 @@ def export_prediction_tensors(trainer: 'Trainer', ds, res, cfg: Config
     tensors = pack_prediction_tensors(
         res, trainer.model.model_return_value,
         gt_data=transformed_gt_data(ds.data, ds.num_transform))
+    # the model's EFFECTIVE sample count names the cache (eval_profile:
+    # fast caps it below cfg.n_generated_samples; the replay path builds
+    # the same model, so both sides resolve the same directory)
     return save_tensors(tensors, cfg.ckpt_dir, cfg.split,
-                        cfg.aggregation_strategy, cfg.n_generated_samples)
+                        cfg.aggregation_strategy,
+                        trainer.model.n_generated_samples)

@@ -323,27 +323,31 @@ def test_unknown_sampler_rejected():
         MoCoDADModel(cfg)
 
 
-def test_eval_profile_fast_expands_and_respects_overrides():
-    """`eval_profile: fast` composes ddim-2 + antithetic (PERF_NOTES
-    "Fast-eval frontier"); explicit keys win over the profile defaults,
-    and no profile leaves the reference chain untouched."""
-    cfg = _cfg()
+def test_eval_profile_fast_caps_samples_keeps_reference_chain():
+    """`eval_profile: fast` caps the Monte-Carlo sample count at 10
+    (measured AUC-free under the reference DDPM chain, PERF_NOTES
+    "Fast-eval frontier") without touching the sampler; the cap is
+    adjustable, never raises the configured count, and artifact naming
+    follows the effective count."""
+    from mocodad_tpu.config import effective_n_generated_samples
+
+    cfg = _cfg(n_generated_samples=50)
     cfg.extras['eval_profile'] = 'fast'
     m = MoCoDADModel(cfg)
-    assert (m.sampler, m.ddim_steps, m.antithetic) == ('ddim', 2, True)
+    assert m.n_generated_samples == 10
+    assert (m.sampler, m.antithetic) == ('ddpm', False)  # chain untouched
+    assert effective_n_generated_samples(cfg) == 10
 
-    cfg2 = _cfg()
-    cfg2.extras.update(eval_profile='fast', sampler='ddpm',
-                       antithetic=False)
-    m2 = MoCoDADModel(cfg2)
-    assert m2.sampler == 'ddpm' and m2.antithetic is False
+    cfg2 = _cfg(n_generated_samples=50)
+    cfg2.extras.update(eval_profile='fast', fast_profile_samples=26)
+    assert MoCoDADModel(cfg2).n_generated_samples == 26
 
-    cfg3 = _cfg()
-    cfg3.extras.update(eval_profile='fast', ddim_steps=3)
-    assert MoCoDADModel(cfg3).ddim_steps == 3
+    cfg3 = _cfg(n_generated_samples=5)   # cap never raises the count
+    cfg3.extras['eval_profile'] = 'fast'
+    assert MoCoDADModel(cfg3).n_generated_samples == 5
 
-    base = MoCoDADModel(_cfg())
-    assert (base.sampler, base.antithetic) == ('ddpm', False)
+    base = MoCoDADModel(_cfg(n_generated_samples=50))
+    assert base.n_generated_samples == 50
 
     cfg4 = _cfg()
     cfg4.extras['eval_profile'] = 'turbo'

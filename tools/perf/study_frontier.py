@@ -42,7 +42,8 @@ import numpy as np
 ROOT = '/tmp/frontier_study'
 RESULTS = os.path.join(ROOT, 'results.json')
 
-OPERATING_POINTS = [('floor', 0.008), ('mid', 0.012), ('easy', 0.02)]
+OPERATING_POINTS = [('floor', 0.008), ('mid', 0.012), ('easy', 0.02),
+                    ('sep', 0.05)]
 SAMPLERS = [('ddpm', 9), ('ddim', 3), ('ddim', 2)]
 S_LIST = [50, 26, 10]
 AGGRS = ['best', 'mean']
