@@ -131,6 +131,65 @@ def test_pose_with_loss_only_aggregation_rejected(synth, tmp_path):
         trainer.run_inference(ds, variables, jax.random.key(2))
 
 
+def test_fast_profile_export_replay_naming(synth, tmp_path):
+    """`eval_profile: fast` caps the model's sample count below
+    cfg.n_generated_samples; the export cache directory must be named
+    with the EFFECTIVE count and the eval CLI's replay branch must
+    resolve the same directory (both sides go through
+    effective_n_generated_samples), reproducing the direct AUC."""
+    import dataclasses
+    import sys
+
+    import yaml
+
+    from mocodad_tpu.config import effective_n_generated_samples
+    from mocodad_tpu.training.loop import export_prediction_tensors
+    from mocodad_tpu.utils.tensors import tensors_dir
+
+    cfg = _cfg(synth, tmp_path, n_generated_samples=4)
+    cfg.extras.update(eval_profile='fast', fast_profile_samples=2)
+    assert effective_n_generated_samples(cfg) == 2
+    build_dataset(cfg, 'train')  # fits + saves the robust scaler
+    ds = build_dataset(cfg, 'test')
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    assert trainer.model.n_generated_samples == 2
+    variables = trainer.model.init_variables(jax.random.key(1))
+    res = trainer.run_inference(ds, variables, jax.random.key(2))
+    direct = post_processing_from_config(res['loss'], res['trans'],
+                                         res['meta'], res['frames'], cfg)
+
+    d = export_prediction_tensors(trainer, ds, res, cfg)
+    assert d == tensors_dir(cfg.ckpt_dir, cfg.split,
+                            cfg.aggregation_strategy, 2)
+    assert not os.path.isdir(tensors_dir(
+        cfg.ckpt_dir, cfg.split, cfg.aggregation_strategy, 4))
+
+    # the unmodified eval CLI, given the same YAML (eval_profile rides
+    # in as an unknown key -> extras), must find the capped-count cache
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import eval_MoCoDAD
+    raw = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)
+           if f.name not in ('extras', 'pose_path')}
+    raw.update(load_tensors=True, dir_name='fastreplay',
+               create_experiment_dir=True, validation=False,
+               eval_profile='fast', fast_profile_samples=2)
+    replay_dir = os.path.join(str(tmp_path), 'UBnormal', 'fastreplay')
+    os.makedirs(replay_dir, exist_ok=True)
+    import shutil
+    shutil.copytree(d, tensors_dir(replay_dir, cfg.split,
+                                   cfg.aggregation_strategy, 2))
+    ypath = os.path.join(str(tmp_path), 'fastreplay.yaml')
+    with open(ypath, 'w') as f:
+        yaml.safe_dump(raw, f)
+    argv, sys.argv = sys.argv, ['eval_MoCoDAD.py', '--config', ypath]
+    try:
+        replay = eval_MoCoDAD.main()
+    finally:
+        sys.argv = argv
+    assert replay == pytest.approx(direct, abs=1e-12)
+
+
 def test_selects_pose_matches_aggregate_contract():
     from mocodad_tpu.models.losses import selects_pose
     assert selects_pose('best') and selects_pose('worst')
