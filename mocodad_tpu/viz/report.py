@@ -200,10 +200,11 @@ def report_from_saved_tensors(cfg, out_path: Optional[str] = None,
                               **kwargs) -> str:
     """Build the HTML report from a predict run's saved_tensors cache —
     mirrors `eval --load_tensors` but renders analyses instead of AUC."""
+    from mocodad_tpu.config import effective_n_generated_samples
     from mocodad_tpu.eval.harness import post_processing_from_config
     from mocodad_tpu.utils.tensors import load_tensors
     t = load_tensors(cfg.ckpt_dir, cfg.split, cfg.aggregation_strategy,
-                     cfg.n_generated_samples)
+                     effective_n_generated_samples(cfg))
     # caches written under model_return_value 'pose'/'all' hold poses in
     # 'prediction' and the scalar loss route in a separate 'loss' tensor
     # (pack_prediction_tensors) — scoring always wants the losses

@@ -31,8 +31,9 @@ def main() -> None:
     cfg = load_config(args.config)
 
     st.title(f'Visualization of {cfg.dataset_choice}')
+    from mocodad_tpu.config import effective_n_generated_samples
     t = load_tensors(cfg.ckpt_dir, cfg.split, cfg.aggregation_strategy,
-                     cfg.n_generated_samples)
+                     effective_n_generated_samples(cfg))
     clips = per_person_scores(t['prediction'], t['trans'], t['metadata'],
                               t['frames'], cfg.gt_path)
     key = st.selectbox('clip', sorted(clips))
