@@ -238,30 +238,42 @@ def main():
 
     wps = BATCH / dt
 
+    def measure_variant(name, key_base, **extras_overrides):
+        """Companion measurement with the headline's exact timing
+        protocol (tuned-jit, WARMUP fenced warmups, ITERS pipelined
+        launches, host-fetch fence of the last loss) on a config that
+        differs from the headline only in `extras_overrides`.  Returns
+        windows/s or None on failure (the artifact simply omits the
+        key).  One protocol, one implementation — a timing fix lands in
+        every variant or none."""
+        try:
+            from mocodad_tpu.config import from_dict
+            from mocodad_tpu.ops.xla_tuning import tuned_compiler_options
+            raw = cfg.to_dict()
+            raw.update(extras_overrides)
+            m = MoCoDADModel(from_dict(raw))
+            fn = jax.jit(lambda v, d, r: m.generate(v, d, r),
+                         compiler_options=tuned_compiler_options())
+            for i in range(WARMUP):
+                np.asarray(fn(variables, data, jax.random.key(i))[1])
+            t0 = time.perf_counter()
+            last = None
+            for i in range(ITERS):
+                last = fn(variables, data, jax.random.key(key_base + i))[1]
+            np.asarray(last)
+            return BATCH / ((time.perf_counter() - t0) / ITERS)
+        except Exception as e:
+            print(f'{name} measurement failed ({str(e)[:120]})',
+                  file=sys.stderr)
+            return None
+
     # f32 companion number: bf16 is AUC-gated by a synthetic study only
     # (PERF_NOTES.md); until real-data parity exists the conservative
     # f32 figure rides alongside in the artifact.
     f32_wps = None
     if os.environ.get('MOCODAD_BENCH_F32', '1') != '0':
-        try:
-            from mocodad_tpu.config import from_dict
-            raw = cfg.to_dict()
-            raw.update(eval_dtype='float32', fast_eval=True)
-            model_f32 = MoCoDADModel(from_dict(raw))
-            from mocodad_tpu.ops.xla_tuning import tuned_compiler_options
-            fn32 = jax.jit(lambda v, d, r: model_f32.generate(v, d, r),
-                           compiler_options=tuned_compiler_options())
-            for i in range(WARMUP):
-                np.asarray(fn32(variables, data, jax.random.key(i))[1])
-            t0 = time.perf_counter()
-            last = None
-            for i in range(ITERS):
-                last = fn32(variables, data, jax.random.key(200 + i))[1]
-            np.asarray(last)
-            f32_wps = BATCH / ((time.perf_counter() - t0) / ITERS)
-        except Exception as e:
-            print(f'f32 measurement failed ({str(e)[:120]})',
-                  file=sys.stderr)
+        f32_wps = measure_variant('f32', 200, eval_dtype='float32',
+                                  fast_eval=True)
 
     # Fast-eval profile (documented protocol deviation, not the parity
     # default): the reference DDPM chain with the Monte-Carlo sample
@@ -271,25 +283,8 @@ def main():
     # protocol (50 samples x 9 steps).
     fast_wps = None
     if os.environ.get('MOCODAD_BENCH_FAST_PROFILE', '1') != '0':
-        try:
-            from mocodad_tpu.config import from_dict
-            raw = cfg.to_dict()
-            raw.update(eval_profile='fast')
-            model_fast = MoCoDADModel(from_dict(raw))
-            from mocodad_tpu.ops.xla_tuning import tuned_compiler_options
-            fnf = jax.jit(lambda v, d, r: model_fast.generate(v, d, r),
-                          compiler_options=tuned_compiler_options())
-            for i in range(WARMUP):
-                np.asarray(fnf(variables, data, jax.random.key(i))[1])
-            t0 = time.perf_counter()
-            last = None
-            for i in range(ITERS):
-                last = fnf(variables, data, jax.random.key(300 + i))[1]
-            np.asarray(last)
-            fast_wps = BATCH / ((time.perf_counter() - t0) / ITERS)
-        except Exception as e:
-            print(f'fast-profile measurement failed ({str(e)[:120]})',
-                  file=sys.stderr)
+        fast_wps = measure_variant('fast-profile', 300,
+                                   eval_profile='fast')
 
     # Same-chip measured baseline: the reference's dispatch pattern
     # (per-sample per-step sequential launches, f32, no fold/scan).
@@ -351,9 +346,10 @@ def main():
     if train_wps is not None:
         out['training_windows_per_sec'] = round(train_wps, 1)
     if baseline_measured is not None:
+        # the median IS the headline baseline number (one key, not two —
+        # the derivation string names the statistic)
         out['baseline_measured_windows_per_sec'] = round(
             baseline_measured['median'], 1)
-        out['baseline_measured_median'] = round(baseline_measured['median'], 1)
         out['baseline_measured_min'] = round(baseline_measured['min'], 1)
         out['baseline_measured_max'] = round(baseline_measured['max'], 1)
         out['baseline_measured_n_reps'] = baseline_measured['n_reps']

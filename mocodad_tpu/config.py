@@ -295,8 +295,16 @@ def effective_n_generated_samples(cfg: Config) -> int:
     four synthetic operating points — PERF_NOTES.md "Fast-eval
     frontier").  Single source of truth for the model and for artifact
     naming (saved_tensors_{split}_{aggr}_{n} replay directories)."""
+    profile = cfg.extras.get('eval_profile')
+    if profile not in (None, 'fast'):
+        # validate HERE, not only in the model: replay/viz paths resolve
+        # cache directories without ever building a model, and a typo'd
+        # profile must not silently fall back to the uncapped count (it
+        # would look up the wrong saved_tensors_* directory)
+        raise ValueError(f"eval_profile must be 'fast' or unset, "
+                         f"got {profile!r}")
     n = cfg.n_generated_samples
-    if cfg.extras.get('eval_profile') == 'fast':
+    if profile == 'fast':
         n = min(n, int(cfg.extras.get('fast_profile_samples', 10)))
     return n
 

@@ -146,7 +146,6 @@ class MoCoDADModel:
         self.loss_kind = cfg.loss_fn
         self.rec_weight = cfg.rec_weight
         self.aggregation_strategy = cfg.aggregation_strategy
-        self.n_generated_samples = cfg.n_generated_samples
         self.model_return_value = cfg.model_return_value
         self.schedule: DiffusionSchedule = make_schedule(cfg.noise_steps)
         # Generation compute dtype: bf16 halves HBM traffic on the
@@ -183,10 +182,8 @@ class MoCoDADModel:
         # itself validates with S=5 (config/UBnormal/mocodad_train.yaml
         # n_generated_samples) — the profile stays inside the reference's
         # own sampling semantics, unlike the sampler/antithetic extras.
-        profile = cfg.extras.get('eval_profile')
-        if profile not in (None, 'fast'):
-            raise ValueError(f"eval_profile must be 'fast' or unset, "
-                             f"got {profile!r}")
+        # (profile validation lives in effective_n_generated_samples —
+        # shared with the model-free replay/viz cache-resolution paths)
         from mocodad_tpu.config import effective_n_generated_samples
         self.n_generated_samples = effective_n_generated_samples(cfg)
         # Antithetic sampling (opt-in, framework extension): draw half the

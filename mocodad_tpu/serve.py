@@ -41,16 +41,20 @@ Backpressure & overload (sustained push rate > device drain rate):
 
 * device side — at most `max_pending_batches` launched micro-batches may
   be in flight; `flush` synchronously drains the OLDEST in-flight batch
-  beyond that, so producers throttle to device speed and in-flight
-  memory is bounded at `max_pending_batches x batch_size` windows.
-* host side — a `push` that would take the pending-window queue past
-  `max_queue_windows` first dispatches any full batches (throttled as
-  above, so it may block); if the queue still cannot fit the new
-  window's views (cap below batch_size, or trailing partial batches) it
-  REFUSES with `OverloadError` before recording anything.  Refusal is
-  deterministic (a pure queue-length threshold), the refused pose is
-  not recorded anywhere, and the scorer stays fully usable — callers
-  shed load at ingestion and may retry after `flush(force=True)`.
+  BEFORE each further launch, so producers throttle to device speed and
+  in-flight memory never exceeds `max_pending_batches x batch_size`
+  windows, even transiently.
+* host side — a `push` whose window views would take the pending-window
+  queue past `max_queue_windows` first dispatches any full batches
+  (throttled as above, so it may block); if the queue still cannot fit
+  the views (cap below batch_size, or trailing partial batches) it
+  REFUSES with `OverloadError` before recording anything.  Warm-up
+  frames of a track still shorter than `seg_len` enqueue nothing and
+  are always accepted.  Refusal is deterministic (a pure queue-length
+  threshold), the refused pose is not recorded anywhere, and the scorer
+  stays fully usable — callers shed load at ingestion and may retry
+  after `flush(force=True)` (a plain `flush()` is a no-op below
+  `batch_size`) or after releasing clips.
 * per-clip score accumulators grow with scored windows by design (the
   reference scoring chain is clip-global); `finalize_clip`/`drop_clip`
   are the release points for long-running services.
@@ -223,7 +227,14 @@ class StreamScorer:
         are emitted over arrival positions exactly like the offline
         windowing (data/windows.py window_index_matrix with the eval
         split's stride 1)."""
-        if len(self._q_data) + self.num_transform > self.max_queue_windows:
+        # a push only costs queue space once its track has seg_len frames
+        # (each then emits num_transform window views); warm-up frames of
+        # a new/short track are free and must never be refused
+        tr0 = self._tracks.get((scene, clip, person))
+        would_enqueue = (len(tr0.frames) if tr0 is not None
+                         else 0) >= self.seg_len - 1
+        if (would_enqueue and len(self._q_data) + self.num_transform
+                > self.max_queue_windows):
             # host-queue cap: dispatch any full batches first (throttled
             # by max_pending_batches, so this may block on the device);
             # if that cannot get the queue under the cap (cap below
@@ -235,7 +246,10 @@ class StreamScorer:
                 raise OverloadError(
                     f'pending-window queue at {len(self._q_data)} '
                     f'(max_queue_windows={self.max_queue_windows}); '
-                    'flush() or drop_clip() before retrying')
+                    'flush(force=True) runs a padded partial batch, or '
+                    'finalize_clip()/drop_clip() to release state, '
+                    'before retrying (a plain flush() is a no-op below '
+                    'batch_size)')
         kp = np.asarray(keypoints, dtype=np.float32)
         # every supported config consumes the 17-joint CSV layout (kp18/
         # headless are derived downstream); reject wrong-arity poses HERE
@@ -318,15 +332,18 @@ class StreamScorer:
                 data = np.concatenate([data, np.repeat(data[-1:], pad, 0)])
                 trans = np.concatenate([trans,
                                         np.repeat(trans[-1:], pad, 0)])
+            while len(self._pending_dev) >= self.max_pending_batches:
+                # device-side backpressure BEFORE launching: block on the
+                # OLDEST in-flight batch so launched-but-undrained memory
+                # never exceeds max_pending_batches x batch_size windows,
+                # even transiently (a drain-after-launch would briefly
+                # hold max+1 batches — enough to OOM a deployment sized
+                # exactly to the documented bound)
+                self._drain_one()
             loss = self._step(self.variables, data, trans, self._rng,
                               self._batch_idx)
             self._batch_idx += 1
             self._pending_dev.append((loss, trans[:n], meta, frames, n))
-            while len(self._pending_dev) > self.max_pending_batches:
-                # device-side backpressure: block on the OLDEST in-flight
-                # batch so launched-but-undrained memory stays bounded at
-                # max_pending_batches x batch_size windows
-                self._drain_one()
 
     def _drain_one(self) -> None:
         loss, trans, meta, frames, n = self._pending_dev.pop(0)

@@ -351,5 +351,10 @@ def test_eval_profile_fast_caps_samples_keeps_reference_chain():
 
     cfg4 = _cfg()
     cfg4.extras['eval_profile'] = 'turbo'
+    # the helper itself must reject typos: replay/viz paths resolve cache
+    # directories model-free, and a silent fallback to the uncapped count
+    # would look up the wrong saved_tensors_* directory
+    with pytest.raises(ValueError, match='eval_profile'):
+        effective_n_generated_samples(cfg4)
     with pytest.raises(ValueError, match='eval_profile'):
         MoCoDADModel(cfg4)

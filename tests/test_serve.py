@@ -264,6 +264,64 @@ def test_overload_backpressure_bounds_inflight_batches(synth, fitted):
     assert not scorer._pending_dev and not scorer._q_data
 
 
+def test_inflight_bound_holds_at_launch_time(synth, fitted):
+    """The max_pending_batches bound must hold AT LAUNCH TIME (the drain
+    happens before _step, never after): a drain-after-launch would
+    transiently hold max+1 in-flight batches — enough to OOM a
+    deployment sized exactly to the documented bound — while looking
+    fine to any check that only runs between pushes."""
+    cfg = fitted
+    scorer = StreamScorer(cfg, variables=_init_vars(cfg), batch_size=8,
+                          flush_every=8, max_pending_batches=2)
+    at_launch = []
+    orig_step = scorer._step
+
+    def spy(*a, **k):
+        at_launch.append(len(scorer._pending_dev))
+        return orig_step(*a, **k)
+
+    scorer._step = spy
+    rs = np.random.RandomState(6)
+    for frame in range(1, 40):
+        for person in range(2):
+            scorer.push(1, 1, person, frame,
+                        rs.rand(17, 2).astype(np.float32) * 100 + 10)
+    assert at_launch and max(at_launch) <= 1, \
+        f'launched with {max(at_launch)} batches already in flight ' \
+        '(bound is 2 AFTER the new launch)'
+    scores = scorer.finalize_clip(1, 1, n_frames=40)
+    assert np.all(np.isfinite(scores))
+
+
+def test_warmup_frames_always_accepted_under_overload(synth, fitted):
+    """Pushes that enqueue nothing (a track still shorter than seg_len)
+    cost no queue space and must never be refused, even with the
+    pending-window queue pinned at the cap; the track's first
+    window-emitting push is then subject to the normal refusal."""
+    from mocodad_tpu.serve import OverloadError
+
+    cfg = fitted   # seg_len=6, num_transform=2
+    scorer = StreamScorer(cfg, variables=_init_vars(cfg), batch_size=32,
+                          max_queue_windows=2)
+    rs = np.random.RandomState(7)
+
+    def push(person, frame):
+        scorer.push(1, 1, person, frame,
+                    rs.rand(17, 2).astype(np.float32) * 100 + 10)
+
+    for frame in range(1, 7):   # actor 0 emits its first window at f6
+        push(0, frame)
+    assert scorer.pending == 2  # queue exactly at the cap
+    with pytest.raises(OverloadError):
+        push(0, 7)              # would enqueue -> refused
+    for frame in range(1, 6):   # 5 warm-up frames of a NEW actor
+        push(9, frame)          # enqueue nothing -> always accepted
+    assert scorer.pending == 2
+    assert len(scorer._tracks[(1, 1, 9)].frames) == 5
+    with pytest.raises(OverloadError):
+        push(9, 6)              # its first window-emitting push refuses
+
+
 def test_overload_refusal_is_deterministic_and_recoverable(synth, fitted):
     """With a host-queue cap below the batch size, push refuses with
     OverloadError exactly at the documented threshold, records nothing

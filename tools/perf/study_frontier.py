@@ -10,8 +10,8 @@ them — the grid the round-3 verdict asked for:
   x S {50, 26, 10}
   x aggregation {best, mean}
   x 3 sampling seeds
-  x 3 synthetic operating points (anomaly_strength spanning the model's
-    noise floor to easy: 0.008 / 0.012 / 0.02)
+  x 4 synthetic operating points (anomaly_strength spanning the model's
+    noise floor to clearly separable: 0.008 / 0.012 / 0.02 / 0.05)
 
 plus a throughput grid (sampler x sampling x S) at bench settings
 (B=2048, bf16 + tuned compiler options).  The ddpm-9 x independent x
