@@ -297,13 +297,26 @@ def main():
                   file=sys.stderr)
 
     # Training throughput (device-resident pool). Cached compile after
-    # the first-ever run; disable with MOCODAD_BENCH_TRAIN=0.
+    # the first-ever run; disable with MOCODAD_BENCH_TRAIN=0.  The
+    # headline stays f32 (the reference trains f32); the opt-in
+    # mixed-precision number (`train_dtype: bfloat16`, PERF_NOTES.md
+    # "bf16 training study") rides alongside.
     train_wps = None
+    train_wps_bf16 = None
     if os.environ.get('MOCODAD_BENCH_TRAIN', '1') != '0':
         try:
             train_wps = measure_training(cfg, model)
         except Exception as e:
             print(f'training measurement failed ({str(e)[:120]})',
+                  file=sys.stderr)
+        try:
+            from mocodad_tpu.config import from_dict
+            raw = cfg.to_dict()
+            raw.update(train_dtype='bfloat16')
+            cfg16 = from_dict(raw)
+            train_wps_bf16 = measure_training(cfg16, MoCoDADModel(cfg16))
+        except Exception as e:
+            print(f'bf16 training measurement failed ({str(e)[:120]})',
                   file=sys.stderr)
 
     # MFU / roofline context: useful FLOPs of the sampling chain vs chip
@@ -345,6 +358,8 @@ def main():
             'the full reference protocol (50 samples x 9 steps)')
     if train_wps is not None:
         out['training_windows_per_sec'] = round(train_wps, 1)
+    if train_wps_bf16 is not None:
+        out['training_windows_per_sec_bf16'] = round(train_wps_bf16, 1)
     if baseline_measured is not None:
         # the median IS the headline baseline number (one key, not two —
         # the derivation string names the statistic)

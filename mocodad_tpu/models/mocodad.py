@@ -157,6 +157,16 @@ class MoCoDADModel:
         # Layout-optimized eval U-Net (ops/fast_unet.py); numerically
         # equivalent (parity-tested), disable via 'fast_eval: false'.
         self.fast_eval = bool(cfg.extras.get('fast_eval', True))
+        # Mixed-precision TRAINING compute dtype (opt-in, framework
+        # extension): master params, optimizer state, grads, the
+        # diffusion noising math, and the loss reduction stay float32;
+        # only the net's forward/backward runs in the compute dtype
+        # (params cast inside the differentiated graph, so grads land
+        # back in f32).  Measured study in PERF_NOTES.md ("bf16 training
+        # study").
+        self.train_dtype = {'float32': jnp.float32,
+                            'bfloat16': jnp.bfloat16}[
+            str(cfg.extras.get('train_dtype', 'float32'))]
         # Reverse-chain scan unrolling knob (re-probe on toolchain bumps).
         # Measured NEUTRAL end-to-end on this toolchain: an isolated
         # denoise-chain probe suggested -5..-8% from removing the scan's
@@ -293,6 +303,20 @@ class MoCoDADModel:
         x_in = F.assemble_input(self.strategy, cond_data, x_t, order,
                                 self.n_frames_condition)
 
+        # mixed-precision training (opt-in `train_dtype: bfloat16`): the
+        # noising math above ran in f32 (schedule-exact); cast params and
+        # net inputs here, INSIDE the differentiated graph, so grads
+        # arrive back in f32 at the master params
+        dt = self.train_dtype if train else jnp.float32
+        if dt != jnp.float32:
+            def _cast(x):
+                return (x.astype(dt)
+                        if jnp.issubdtype(x.dtype, jnp.floating) else x)
+            variables = jax.tree_util.tree_map(_cast, variables)
+            x_in = x_in.astype(dt)
+            inject_cond = (None if inject_cond is None
+                           else inject_cond.astype(dt))
+
         def run(variables):
             return self.net.apply(
                 variables, x_in, t, inject_cond, train=train,
@@ -304,6 +328,16 @@ class MoCoDADModel:
         else:
             pred, rec_cond = run(variables)
             mutated = {}
+        if dt != jnp.float32:
+            # reductions in f32; BN running stats back to the state dtype
+            pred = pred.astype(jnp.float32)
+            rec_cond = (None if rec_cond is None
+                        else rec_cond.astype(jnp.float32))
+            if mutated:
+                mutated = jax.tree_util.tree_map(
+                    lambda x: (x.astype(jnp.float32)
+                               if jnp.issubdtype(x.dtype, jnp.floating)
+                               else x), mutated)
         pred = F.extract_corrupt(self.strategy, pred, order,
                                  self.n_frames_condition)
 

@@ -105,6 +105,14 @@ class MoCoDADLatentModel(MoCoDADModel):
         if self.strategy != 'inject':
             raise ValueError('Conditioning strategy must be inject for the '
                              'latent variant (ref: mocodad_latent.py:32)')
+        import jax.numpy as _jnp
+        if self.train_dtype != _jnp.float32:
+            # the latent variant overrides loss() without the
+            # mixed-precision cast; refuse rather than silently train f32
+            raise NotImplementedError(
+                'train_dtype: bfloat16 is only measured/wired for the '
+                'pose diffusion path (MoCoDADModel.loss); unset it for '
+                'the latent variant')
         if self.hidden_sizes[-1] != self.latent_embedding_dim:
             # the denoiser MLP's last hidden layer IS its output (ref
             # components.py:237: Linear(input, hidden_sizes[-1]) with no

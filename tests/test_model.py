@@ -323,6 +323,59 @@ def test_unknown_sampler_rejected():
         MoCoDADModel(cfg)
 
 
+def test_train_dtype_bf16_mixed_precision_contract():
+    """`train_dtype: bfloat16` (opt-in): master params/grads/BN running
+    stats and the loss value stay f32 while the net computes in bf16;
+    the loss tracks the f32 step closely; the latent variant refuses the
+    knob (its loss override has no cast)."""
+    model, variables = _cached_model()
+    data = jax.random.normal(jax.random.key(3), (8, 2, 6, 17))
+    rng = jax.random.key(4)
+
+    cfg16 = _cfg()
+    cfg16.extras['train_dtype'] = 'bfloat16'
+    m16 = MoCoDADModel(cfg16)
+
+    def grads_of(m):
+        def f(params):
+            loss, metrics, mutated = m.loss(
+                {'params': params,
+                 'batch_stats': variables['batch_stats']},
+                data, rng, train=True)
+            return loss, (metrics, mutated)
+        return jax.grad(f, has_aux=True)(variables['params'])
+
+    g32, (met32, _) = jax.jit(lambda: grads_of(model))()
+    g16, (met16, mut16) = jax.jit(lambda: grads_of(m16))()
+    for leaf in jax.tree_util.tree_leaves(g16):
+        assert leaf.dtype == jnp.float32          # grads at master dtype
+    for leaf in jax.tree_util.tree_leaves(mut16):
+        assert leaf.dtype == jnp.float32          # BN stats stay f32
+    assert met16['loss'].dtype == jnp.float32
+    # bf16 forward/backward tracks f32 closely (same RNG keys; bf16 has
+    # ~3 decimal digits, so per-step loss agreement within ~1% is the
+    # expected regime)
+    l32, l16 = float(met32['loss']), float(met16['loss'])
+    assert abs(l16 - l32) / abs(l32) < 2e-2, (l32, l16)
+    # grads correlate strongly with the f32 ones
+    v32 = np.concatenate([np.asarray(x).ravel()
+                          for x in jax.tree_util.tree_leaves(g32)])
+    v16 = np.concatenate([np.asarray(x).ravel()
+                          for x in jax.tree_util.tree_leaves(g16)])
+    cos = float(v32 @ v16 / (np.linalg.norm(v32) * np.linalg.norm(v16)))
+    assert cos > 0.99, cos
+
+    # eval-side sampling is untouched by the knob
+    assert m16.eval_dtype == jnp.float32
+
+    lcfg = _cfg(conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
+                stage='pretrain', latent_embedding_dim=16,
+                hidden_sizes=[32, 16])
+    lcfg.extras['train_dtype'] = 'bfloat16'
+    with pytest.raises(NotImplementedError, match='train_dtype'):
+        MoCoDADLatentModel(lcfg)
+
+
 def test_eval_profile_fast_caps_samples_keeps_reference_chain():
     """`eval_profile: fast` caps the Monte-Carlo sample count at 10
     (measured AUC-free under the reference DDPM chain, PERF_NOTES
