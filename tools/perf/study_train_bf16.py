@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH = 2048
-K = 8
+K = int(os.environ.get('K', '8'))
 ROUNDS = 4
 ITERS = 4
 
@@ -88,6 +88,34 @@ def throughput_ab():
     m32, m16 = float(np.median(w32)), float(np.median(w16))
     print(f'throughput median-of-{ROUNDS}: f32 {m32:,.0f} w/s, '
           f'bf16 {m16:,.0f} w/s ({m16 / m32 - 1:+.1%})', flush=True)
+
+
+def k_sweep(ks=(8, 16, 32)):
+    """Interleaved K (steps/dispatch) sweep for both dtypes in ONE
+    process: cross-run K comparisons are confounded by tunnel RTT (the
+    very thing K amortizes), so every (K, dtype) cell runs once per
+    round, rotating."""
+    global K
+    from mocodad_tpu.config import flagship_config
+
+    runners = {}
+    for k in ks:
+        K = k   # _throughput reads the module global
+        cfg32 = flagship_config(batch_size=BATCH, num_transform=5)
+        cfg16 = flagship_config(batch_size=BATCH, num_transform=5)
+        cfg16.extras['train_dtype'] = 'bfloat16'
+        runners[(k, 'f32')] = _throughput(cfg32)
+        runners[(k, 'bf16')] = _throughput(cfg16)
+        print(f'K={k}: compiled both dtypes', flush=True)
+    acc = {cell: [] for cell in runners}
+    for i in range(ROUNDS):
+        for cell, run in runners.items():
+            acc[cell].append(run())
+    for k in ks:
+        m32 = float(np.median(acc[(k, 'f32')]))
+        m16 = float(np.median(acc[(k, 'bf16')]))
+        print(f'K={k}: f32 {m32:,.0f} w/s, bf16 {m16:,.0f} w/s '
+              f'(median of {ROUNDS} interleaved rounds)', flush=True)
 
 
 def quality(seeds=(7, 8, 9), n_epochs=6):
@@ -151,5 +179,7 @@ def quality(seeds=(7, 8, 9), n_epochs=6):
 if __name__ == '__main__':
     if 'quality' in sys.argv:
         quality()
+    elif 'ksweep' in sys.argv:
+        k_sweep()
     else:
         throughput_ab()
