@@ -118,46 +118,58 @@ def measure_baseline(cfg, variables, data):
             'max': wps[-1], 'n_reps': len(wps)}
 
 
-def measure_training(cfg, model):
-    """Steady-state training throughput with the device-resident window
-    pool and the shipping multi-step dispatch (K=8 index-batches scanned
-    per launch; training/loop.py steps_per_dispatch)."""
+def build_training_runner(cfg, model, k: int = 8):
+    """Build a zero-arg runner measuring steady-state training throughput
+    (windows/s) with the device-resident window pool and k index-batches
+    scanned per launch (training/loop.py steps_per_dispatch).  The first
+    call after build compiles; shared by bench and the tools/perf
+    studies so the timing protocol lives in one place.  `k` is bound
+    here — never read from mutable outer state: the scan length follows
+    the batch leading dim, so a late-bound k silently changes what every
+    already-built runner measures AND the throughput formula."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     from mocodad_tpu.training.loop import Trainer
 
-    K = 8
     trainer = Trainer(cfg, model)
     state = trainer.init_state(steps_per_epoch=10, rng=jax.random.key(0))
-    step = trainer._build_train_step(pool_mode=True, steps_per_dispatch=K)
+    step = trainer._build_train_step(pool_mode=True, steps_per_dispatch=k)
     rs = np.random.RandomState(0)
     pool = jax.device_put(rs.randn(36864, 2, 6, 17).astype(np.float32))
     n = pool.shape[0]
     rng = jax.random.key(0)
 
     def batches():
-        idx = rs.randint(0, n * cfg.num_transform, (K, BATCH))
+        idx = rs.randint(0, n * cfg.num_transform, (k, BATCH))
         return {'idx': jnp.asarray(idx % n, jnp.int32),
                 'trans': jnp.asarray(idx // n, jnp.int32),
-                'mask': jnp.ones((K, BATCH), jnp.float32)}
+                'mask': jnp.ones((k, BATCH), jnp.float32)}
 
-    def fence(state):
+    def fence(st):
         # host fetch of one param leaf: each step consumes the previous
         # state and the device runs launches in order, so materializing a
         # leaf of the final state proves every step finished.  (A plain
         # block_until_ready was once observed returning without waiting
         # on this transport — see main's plausibility guard.)
-        np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        np.asarray(jax.tree_util.tree_leaves(st.params)[0])
 
-    state, _ = step(state, pool, batches(), rng)
-    fence(state)
-    t0 = time.perf_counter()
-    iters = 4
-    for i in range(iters):
-        state, _ = step(state, pool, batches(), rng)
-    fence(state)
-    return BATCH * K * iters / (time.perf_counter() - t0)
+    def run(iters: int = 4):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, _ = step(state, pool, batches(), rng)
+        fence(state)
+        return BATCH * k * iters / (time.perf_counter() - t0)
+
+    run(1)   # compile warmup (fenced)
+    return run
+
+
+def measure_training(cfg, model, k: int = 8):
+    """Steady-state training throughput (one-shot; see
+    build_training_runner for the A/B-capable form)."""
+    return build_training_runner(cfg, model, k)()
 
 
 def main():
@@ -309,15 +321,17 @@ def main():
         except Exception as e:
             print(f'training measurement failed ({str(e)[:120]})',
                   file=sys.stderr)
-        try:
-            from mocodad_tpu.config import from_dict
-            raw = cfg.to_dict()
-            raw.update(train_dtype='bfloat16')
-            cfg16 = from_dict(raw)
-            train_wps_bf16 = measure_training(cfg16, MoCoDADModel(cfg16))
-        except Exception as e:
-            print(f'bf16 training measurement failed ({str(e)[:120]})',
-                  file=sys.stderr)
+        if os.environ.get('MOCODAD_BENCH_TRAIN_BF16', '1') != '0':
+            try:
+                from mocodad_tpu.config import from_dict
+                raw = cfg.to_dict()
+                raw.update(train_dtype='bfloat16')
+                cfg16 = from_dict(raw)
+                train_wps_bf16 = measure_training(cfg16,
+                                                  MoCoDADModel(cfg16))
+            except Exception as e:
+                print(f'bf16 training measurement failed ({str(e)[:120]})',
+                      file=sys.stderr)
 
     # MFU / roofline context: useful FLOPs of the sampling chain vs chip
     # peak (ceiling itself computed before the timed loop)

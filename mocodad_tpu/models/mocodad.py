@@ -312,7 +312,16 @@ class MoCoDADModel:
             def _cast(x):
                 return (x.astype(dt)
                         if jnp.issubdtype(x.dtype, jnp.floating) else x)
-            variables = jax.tree_util.tree_map(_cast, variables)
+            # cast PARAMS only: batch_stats must enter the BN running-stat
+            # EMA in f32 (momentum*ra + (1-m)*batch_mean) — casting ra to
+            # bf16 first would quantize the accumulated value itself, so
+            # updates below ~0.4% of the running value round away and the
+            # stats stall near convergence.  The batch mean/var are
+            # computed from bf16 activations either way; only the
+            # accumulator precision is at stake.
+            variables = dict(variables)
+            variables['params'] = jax.tree_util.tree_map(
+                _cast, variables['params'])
             x_in = x_in.astype(dt)
             inject_cond = (None if inject_cond is None
                            else inject_cond.astype(dt))
@@ -329,7 +338,9 @@ class MoCoDADModel:
             pred, rec_cond = run(variables)
             mutated = {}
         if dt != jnp.float32:
-            # reductions in f32; BN running stats back to the state dtype
+            # reductions in f32; the running stats already come back f32
+            # (f32 accumulator x momentum promotes) — the tree_map is a
+            # dtype safety net for any stat a layer stores differently
             pred = pred.astype(jnp.float32)
             rec_cond = (None if rec_cond is None
                         else rec_cond.astype(jnp.float32))

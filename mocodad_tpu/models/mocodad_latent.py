@@ -105,8 +105,7 @@ class MoCoDADLatentModel(MoCoDADModel):
         if self.strategy != 'inject':
             raise ValueError('Conditioning strategy must be inject for the '
                              'latent variant (ref: mocodad_latent.py:32)')
-        import jax.numpy as _jnp
-        if self.train_dtype != _jnp.float32:
+        if self.train_dtype != jnp.float32:
             # the latent variant overrides loss() without the
             # mixed-precision cast; refuse rather than silently train f32
             raise NotImplementedError(

@@ -368,6 +368,33 @@ def test_train_dtype_bf16_mixed_precision_contract():
     # eval-side sampling is untouched by the knob
     assert m16.eval_dtype == jnp.float32
 
+    # BN running stats must enter the EMA as f32 ACCUMULATORS, not just
+    # come back stored as f32: seed every running mean with a value whose
+    # bf16 rounding error is measurable (1 + 2^-12 rounds to 1.0 in
+    # bf16), then check the update still carries the 2^-12 at f32
+    # precision — new_ra(v) - new_ra(0) == momentum * v, which a
+    # cast-to-bf16-first implementation would quantize away entirely.
+    delta = 2.0 ** -12
+
+    def seeded(v):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.full_like(x, v), variables['batch_stats'])
+
+    def mutated_with(bs):
+        _, _, mut = m16.loss({'params': variables['params'],
+                              'batch_stats': bs}, data, rng, train=True)
+        return mut['batch_stats']
+
+    mut_v = jax.jit(lambda: mutated_with(seeded(1.0 + delta)))()
+    mut_0 = jax.jit(lambda: mutated_with(seeded(0.0)))()
+    means_v = [np.asarray(x) for x in jax.tree_util.tree_leaves(mut_v)]
+    means_0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(mut_0)]
+    momentum = 0.9   # nn/stsgcn.py BatchNorm momentum
+    for a, b in zip(means_v, means_0):
+        got = (a - b).ravel()[0]
+        want = momentum * (1.0 + delta)
+        assert abs(got - want) < delta / 4, (got, want)
+
     lcfg = _cfg(conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
                 stage='pretrain', latent_embedding_dim=16,
                 hidden_sizes=[32, 16])

@@ -18,7 +18,6 @@ Results transcribed into PERF_NOTES.md ("bf16 training study").
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))))
@@ -27,7 +26,6 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       os.path.expanduser('~/.cache/jax_comp'))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 BATCH = 2048
@@ -36,40 +34,17 @@ ROUNDS = 4
 ITERS = 4
 
 
-def _throughput(cfg):
+def _throughput(cfg, k):
+    """Shared timing protocol: bench.build_training_runner (one
+    implementation of pool/fence/formula — a past copy of it read a
+    mutable module-global K at call time, which silently made every
+    'K sweep' cell measure the last-assigned K).  `k` is bound at build
+    time, per runner."""
     from mocodad_tpu.models import MoCoDADModel
-    from mocodad_tpu.training.loop import Trainer
 
-    model = MoCoDADModel(cfg)
-    trainer = Trainer(cfg, model)
-    state = trainer.init_state(steps_per_epoch=10, rng=jax.random.key(0))
-    step = trainer._build_train_step(pool_mode=True, steps_per_dispatch=K)
-    rs = np.random.RandomState(0)
-    pool = jax.device_put(rs.randn(36864, 2, 6, 17).astype(np.float32))
-    n = pool.shape[0]
-    rng = jax.random.key(0)
-
-    def batches():
-        idx = rs.randint(0, n * cfg.num_transform, (K, BATCH))
-        return {'idx': jnp.asarray(idx % n, jnp.int32),
-                'trans': jnp.asarray(idx // n, jnp.int32),
-                'mask': jnp.ones((K, BATCH), jnp.float32)}
-
-    def fence(state):
-        np.asarray(jax.tree_util.tree_leaves(state.params)[0])
-
-    state, _ = step(state, pool, batches(), rng)   # compile
-    fence(state)
-
-    def one_round():
-        nonlocal state
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            state, _ = step(state, pool, batches(), rng)
-        fence(state)
-        return BATCH * K * ITERS / (time.perf_counter() - t0)
-
-    return one_round
+    import bench
+    assert bench.BATCH == BATCH
+    return bench.build_training_runner(cfg, MoCoDADModel(cfg), k=k)
 
 
 def throughput_ab():
@@ -78,11 +53,11 @@ def throughput_ab():
     cfg32 = flagship_config(batch_size=BATCH, num_transform=5)
     cfg16 = flagship_config(batch_size=BATCH, num_transform=5)
     cfg16.extras['train_dtype'] = 'bfloat16'
-    r32, r16 = _throughput(cfg32), _throughput(cfg16)
+    r32, r16 = _throughput(cfg32, K), _throughput(cfg16, K)
     w32, w16 = [], []
     for i in range(ROUNDS):
-        w32.append(r32())
-        w16.append(r16())
+        w32.append(r32(ITERS))
+        w16.append(r16(ITERS))
         print(f'round {i}: f32 {w32[-1]:,.0f} w/s, bf16 {w16[-1]:,.0f} w/s',
               flush=True)
     m32, m16 = float(np.median(w32)), float(np.median(w16))
@@ -94,23 +69,21 @@ def k_sweep(ks=(8, 16, 32)):
     """Interleaved K (steps/dispatch) sweep for both dtypes in ONE
     process: cross-run K comparisons are confounded by tunnel RTT (the
     very thing K amortizes), so every (K, dtype) cell runs once per
-    round, rotating."""
-    global K
+    round, rotating.  Each runner binds its own k at build time."""
     from mocodad_tpu.config import flagship_config
 
     runners = {}
     for k in ks:
-        K = k   # _throughput reads the module global
         cfg32 = flagship_config(batch_size=BATCH, num_transform=5)
         cfg16 = flagship_config(batch_size=BATCH, num_transform=5)
         cfg16.extras['train_dtype'] = 'bfloat16'
-        runners[(k, 'f32')] = _throughput(cfg32)
-        runners[(k, 'bf16')] = _throughput(cfg16)
+        runners[(k, 'f32')] = _throughput(cfg32, k)
+        runners[(k, 'bf16')] = _throughput(cfg16, k)
         print(f'K={k}: compiled both dtypes', flush=True)
     acc = {cell: [] for cell in runners}
     for i in range(ROUNDS):
         for cell, run in runners.items():
-            acc[cell].append(run())
+            acc[cell].append(run(ITERS))
     for k in ks:
         m32 = float(np.median(acc[(k, 'f32')]))
         m16 = float(np.median(acc[(k, 'bf16')]))
