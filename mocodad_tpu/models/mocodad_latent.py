@@ -88,8 +88,13 @@ class MoCoDADLatentNet(MoCoDADNet):
         emb, rec = self.encode_condition(cond_data, train=train)
         if self.stage == 'diffusion':
             latent = self.encode_input(corrupt_data, emb, train=train)
-            z_t = sqrt_a[:, None] * latent + sqrt_1ma[:, None] * eps
-            pred = self.denoise_latent(z_t, t, emb, train=train)
+            # noising math at the COEFFICIENT dtype (f32, schedule-exact)
+            # even when the encoder ran bf16; the denoiser then runs at
+            # the net's compute dtype again (all no-ops in f32 mode)
+            z_t = (sqrt_a[:, None] * latent.astype(sqrt_a.dtype)
+                   + sqrt_1ma[:, None] * eps)
+            pred = self.denoise_latent(z_t.astype(latent.dtype), t, emb,
+                                       train=train)
             return pred, eps, rec
         pred = self.encode_input(corrupt_data, emb, train=train)
         return pred, corrupt_data, rec
@@ -105,13 +110,6 @@ class MoCoDADLatentModel(MoCoDADModel):
         if self.strategy != 'inject':
             raise ValueError('Conditioning strategy must be inject for the '
                              'latent variant (ref: mocodad_latent.py:32)')
-        if self.train_dtype != jnp.float32:
-            # the latent variant overrides loss() without the
-            # mixed-precision cast; refuse rather than silently train f32
-            raise NotImplementedError(
-                'train_dtype: bfloat16 is only measured/wired for the '
-                'pose diffusion path (MoCoDADModel.loss); unset it for '
-                'the latent variant')
         if self.hidden_sizes[-1] != self.latent_embedding_dim:
             # the denoiser MLP's last hidden layer IS its output (ref
             # components.py:237: Linear(input, hidden_sizes[-1]) with no
@@ -181,9 +179,25 @@ class MoCoDADLatentModel(MoCoDADModel):
         a_hat = coef(self.schedule.alpha_hat, t)
         sqrt_a, sqrt_1ma = jnp.sqrt(a_hat), jnp.sqrt(1.0 - a_hat)
         eps = jax.random.normal(r_noise, (b, self.latent_embedding_dim),
-                                dtype=data.dtype)
+                                dtype=jnp.float32)
 
-        args = (cond_data, corrupt_data, t, eps, sqrt_a, sqrt_1ma)
+        # mixed-precision training (opt-in `train_dtype: bfloat16`): same
+        # contract as MoCoDADModel.loss — f32 master params / grads / BN
+        # accumulators / noising coefficients / loss reduction, bf16 net
+        # compute; the cast sits inside the differentiated graph
+        dt = self.train_dtype if train else jnp.float32
+        cond_in, corrupt_in = cond_data, corrupt_data
+        if dt != jnp.float32:
+            def _cast(x):
+                return (x.astype(dt)
+                        if jnp.issubdtype(x.dtype, jnp.floating) else x)
+            variables = dict(variables)
+            variables['params'] = jax.tree_util.tree_map(
+                _cast, variables['params'])
+            cond_in = cond_data.astype(dt)
+            corrupt_in = corrupt_data.astype(dt)
+
+        args = (cond_in, corrupt_in, t, eps, sqrt_a, sqrt_1ma)
         if train:
             (pred, target, rec_cond), mutated = self.net.apply(
                 variables, *args, train=True, mutable=['batch_stats'],
@@ -193,6 +207,19 @@ class MoCoDADLatentModel(MoCoDADModel):
             pred, target, rec_cond = self.net.apply(
                 variables, *args, method=MoCoDADLatentNet.loss_forward)
             mutated = {}
+        if dt != jnp.float32:
+            pred = pred.astype(jnp.float32)
+            rec_cond = (None if rec_cond is None
+                        else rec_cond.astype(jnp.float32))
+            if self.stage != 'diffusion':
+                # the pretrain reconstruction target is the ORIGINAL f32
+                # window, not its bf16 net-input cast (the diffusion
+                # target eps passed through loss_forward untouched, f32)
+                target = corrupt_data
+            mutated = jax.tree_util.tree_map(
+                lambda x: (x.astype(jnp.float32)
+                           if jnp.issubdtype(x.dtype, jnp.floating)
+                           else x), mutated)
 
         metrics: Dict[str, jnp.ndarray] = {}
         loss = self._masked_mean(

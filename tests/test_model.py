@@ -326,8 +326,7 @@ def test_unknown_sampler_rejected():
 def test_train_dtype_bf16_mixed_precision_contract():
     """`train_dtype: bfloat16` (opt-in): master params/grads/BN running
     stats and the loss value stay f32 while the net computes in bf16;
-    the loss tracks the f32 step closely; the latent variant refuses the
-    knob (its loss override has no cast)."""
+    the loss tracks the f32 step closely."""
     model, variables = _cached_model()
     data = jax.random.normal(jax.random.key(3), (8, 2, 6, 17))
     rng = jax.random.key(4)
@@ -395,12 +394,48 @@ def test_train_dtype_bf16_mixed_precision_contract():
         want = momentum * (1.0 + delta)
         assert abs(got - want) < delta / 4, (got, want)
 
-    lcfg = _cfg(conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
-                stage='pretrain', latent_embedding_dim=16,
-                hidden_sizes=[32, 16])
-    lcfg.extras['train_dtype'] = 'bfloat16'
-    with pytest.raises(NotImplementedError, match='train_dtype'):
-        MoCoDADLatentModel(lcfg)
+def test_train_dtype_bf16_latent_variant_contract():
+    """The latent variant honors `train_dtype: bfloat16` with the same
+    contract as the base model (f32 masters/grads/BN stats/loss, bf16
+    net compute), in BOTH stages; the pretrain reconstruction target and
+    the diffusion eps target stay f32."""
+    data = jax.random.normal(jax.random.key(3), (8, 2, 6, 17))
+    rng = jax.random.key(4)
+    for stage in ('pretrain', 'diffusion'):
+        lcfg = _cfg(conditioning_strategy='inject',
+                    conditioning_indices=[0, 1, 2], stage=stage,
+                    latent_embedding_dim=16, hidden_sizes=[32, 16])
+        lcfg16 = _cfg(conditioning_strategy='inject',
+                      conditioning_indices=[0, 1, 2], stage=stage,
+                      latent_embedding_dim=16, hidden_sizes=[32, 16])
+        lcfg16.extras['train_dtype'] = 'bfloat16'
+        m32, m16 = MoCoDADLatentModel(lcfg), MoCoDADLatentModel(lcfg16)
+        variables = m32.init_variables(jax.random.key(0))
+
+        def grads_of(m):
+            def f(params):
+                loss, metrics, mutated = m.loss(
+                    {'params': params,
+                     'batch_stats': variables['batch_stats']},
+                    data, rng, train=True)
+                return loss, (metrics, mutated)
+            return jax.grad(f, has_aux=True)(variables['params'])
+
+        g32, (met32, _) = jax.jit(lambda: grads_of(m32))()
+        g16, (met16, mut16) = jax.jit(lambda: grads_of(m16))()
+        for leaf in jax.tree_util.tree_leaves(g16):
+            assert leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(mut16):
+            assert leaf.dtype == jnp.float32
+        assert met16['loss'].dtype == jnp.float32
+        l32, l16 = float(met32['loss']), float(met16['loss'])
+        assert abs(l16 - l32) / abs(l32) < 2e-2, (stage, l32, l16)
+        v32 = np.concatenate([np.asarray(x).ravel()
+                              for x in jax.tree_util.tree_leaves(g32)])
+        v16 = np.concatenate([np.asarray(x).ravel()
+                              for x in jax.tree_util.tree_leaves(g16)])
+        cos = float(v32 @ v16 / (np.linalg.norm(v32) * np.linalg.norm(v16)))
+        assert cos > 0.99, (stage, cos)
 
 
 def test_eval_profile_fast_caps_samples_keeps_reference_chain():
