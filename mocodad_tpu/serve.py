@@ -227,6 +227,16 @@ class StreamScorer:
         are emitted over arrival positions exactly like the offline
         windowing (data/windows.py window_index_matrix with the eval
         split's stride 1)."""
+        kp = np.asarray(keypoints, dtype=np.float32)
+        # every supported config consumes the 17-joint CSV layout (kp18/
+        # headless are derived downstream); reject wrong-arity poses
+        # BEFORE the overload check so a malformed message fails fast
+        # with ValueError instead of triggering device flushes and an
+        # OverloadError whose retry guidance can never succeed
+        if kp.shape != (17, 2):
+            raise ValueError(
+                f'keypoints must have shape (17, 2) (the CSV trajectory '
+                f'layout, ref utils/data.py:219-236); got {kp.shape}')
         # a push only costs queue space once its track has seg_len frames
         # (each then emits num_transform window views); warm-up frames of
         # a new/short track are free and must never be refused
@@ -250,15 +260,6 @@ class StreamScorer:
                     'finalize_clip()/drop_clip() to release state, '
                     'before retrying (a plain flush() is a no-op below '
                     'batch_size)')
-        kp = np.asarray(keypoints, dtype=np.float32)
-        # every supported config consumes the 17-joint CSV layout (kp18/
-        # headless are derived downstream); reject wrong-arity poses HERE
-        # so one bad message cannot poison the track's ring buffer and
-        # fail every subsequent valid window of that actor
-        if kp.shape != (17, 2):
-            raise ValueError(
-                f'keypoints must have shape (17, 2) (the CSV trajectory '
-                f'layout, ref utils/data.py:219-236); got {kp.shape}')
         kp = kp.reshape(-1)
         tr = self._tracks[(scene, clip, person)]
         tr.frames.append(int(frame))
