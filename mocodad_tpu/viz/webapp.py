@@ -34,8 +34,11 @@ def main() -> None:
     from mocodad_tpu.config import effective_n_generated_samples
     t = load_tensors(cfg.ckpt_dir, cfg.split, cfg.aggregation_strategy,
                      effective_n_generated_samples(cfg))
-    clips = per_person_scores(t['prediction'], t['trans'], t['metadata'],
-                              t['frames'], cfg.gt_path)
+    # 'pose'/'all' caches store poses in prediction.npy and the scalar
+    # scores in loss.npy — prefer the latter (same rule as report.py and
+    # the eval replay path)
+    clips = per_person_scores(t.get('loss', t['prediction']), t['trans'],
+                              t['metadata'], t['frames'], cfg.gt_path)
     key = st.selectbox('clip', sorted(clips))
     d = clips[key]
     log_scale = st.checkbox('log scale', value=False)
