@@ -216,64 +216,75 @@ def main():
 
     import numpy as np
 
-    for i in range(WARMUP):
-        np.asarray(gen(data, jax.random.key(i))[1])
-
     # roofline context up front — it also bounds what a sane measurement
-    # can read (used by the plausibility guard below)
+    # can read (used by the plausibility guard in timed_throughput)
     c = unet_cost(model.input_n_frames, model.n_joints)
     n_forwards = BATCH * N_GENERATED * (NOISE_STEPS - 1)
     granularity_ceiling_wps = BATCH / (
         c.mxu_row_cost * n_forwards / PEAK_BF16_FLOPS)
 
-    def timed_eval(sync_every_iter):
-        """Pipelined launches; fence with a host fetch of the LAST loss —
-        the device executes launches in order, so its bytes existing
-        proves all prior iterations finished.  A D2H copy is used instead
-        of block_until_ready because one observed run had block return
-        without waiting (reading a physically impossible 4.9M w/s)."""
-        t0 = time.perf_counter()
-        last = None
-        for i in range(ITERS):
-            last = gen(data, jax.random.key(100 + i))[1]
-            if sync_every_iter:
-                np.asarray(last)
-        np.asarray(last)
-        return (time.perf_counter() - t0) / ITERS
+    def timed_throughput(run_iter, key_base, ceiling_wps):
+        """THE timing protocol — one implementation for the headline and
+        every variant, so a timing fix lands on all of them or none:
+        WARMUP fenced warmups, ITERS pipelined launches, then a fence by
+        host fetch of the LAST loss — the device executes launches in
+        order, so its bytes existing proves all prior iterations
+        finished.  A D2H copy is used instead of block_until_ready
+        because one observed run had block return without waiting
+        (reading a physically impossible 4.9M w/s).  If the pipelined
+        reading still exceeds the roofline ceiling for this variant's
+        work, re-measure with per-iteration fences.  run_iter(i) must
+        launch one batch keyed by i and return its loss array.
+        Returns (windows/s, s/batch)."""
+        for i in range(WARMUP):
+            np.asarray(run_iter(i))
 
-    dt = timed_eval(sync_every_iter=False)
-    if BATCH / dt > granularity_ceiling_wps:
-        print('implausible pipelined reading '
-              f'({BATCH / dt:.0f} w/s > ceiling); re-measuring with '
-              'per-iteration sync fences', file=sys.stderr)
-        dt = timed_eval(sync_every_iter=True)
-
-    wps = BATCH / dt
-
-    def measure_variant(name, key_base, **extras_overrides):
-        """Companion measurement with the headline's exact timing
-        protocol (tuned-jit, WARMUP fenced warmups, ITERS pipelined
-        launches, host-fetch fence of the last loss) on a config that
-        differs from the headline only in `extras_overrides`.  Returns
-        windows/s or None on failure (the artifact simply omits the
-        key).  One protocol, one implementation — a timing fix lands in
-        every variant or none."""
-        try:
-            from mocodad_tpu.config import from_dict
-            from mocodad_tpu.ops.xla_tuning import tuned_compiler_options
-            raw = cfg.to_dict()
-            raw.update(extras_overrides)
-            m = MoCoDADModel(from_dict(raw))
-            fn = jax.jit(lambda v, d, r: m.generate(v, d, r),
-                         compiler_options=tuned_compiler_options())
-            for i in range(WARMUP):
-                np.asarray(fn(variables, data, jax.random.key(i))[1])
+        def timed(sync_every_iter):
             t0 = time.perf_counter()
             last = None
             for i in range(ITERS):
-                last = fn(variables, data, jax.random.key(key_base + i))[1]
+                last = run_iter(key_base + i)
+                if sync_every_iter:
+                    np.asarray(last)
             np.asarray(last)
-            return BATCH / ((time.perf_counter() - t0) / ITERS)
+            return (time.perf_counter() - t0) / ITERS
+
+        dt = timed(sync_every_iter=False)
+        if BATCH / dt > ceiling_wps:
+            print('implausible pipelined reading '
+                  f'({BATCH / dt:.0f} w/s > ceiling {ceiling_wps:.0f}); '
+                  're-measuring with per-iteration sync fences',
+                  file=sys.stderr)
+            dt = timed(sync_every_iter=True)
+        return BATCH / dt, dt
+
+    wps, dt = timed_throughput(
+        lambda i: gen(data, jax.random.key(i))[1], 100,
+        granularity_ceiling_wps)
+
+    def measure_variant(name, key_base, **extras_overrides):
+        """Companion measurement (timed_throughput protocol, tuned jit)
+        on a config that differs from the headline only in
+        `extras_overrides`.  Returns windows/s or None on failure (the
+        artifact simply omits the key)."""
+        try:
+            from mocodad_tpu.config import (effective_n_generated_samples,
+                                            from_dict)
+            from mocodad_tpu.ops.xla_tuning import tuned_compiler_options
+            raw = cfg.to_dict()
+            raw.update(extras_overrides)
+            vcfg = from_dict(raw)
+            m = MoCoDADModel(vcfg)
+            fn = jax.jit(lambda v, d, r: m.generate(v, d, r),
+                         compiler_options=tuned_compiler_options())
+            # the granularity ceiling scales inversely with the chain's
+            # forward count, so a reduced-S variant (eval_profile: fast)
+            # is guarded against ITS ceiling, not the 50-sample one
+            ceiling = granularity_ceiling_wps * (
+                N_GENERATED / effective_n_generated_samples(vcfg))
+            return timed_throughput(
+                lambda i: fn(variables, data, jax.random.key(i))[1],
+                key_base, ceiling)[0]
         except Exception as e:
             print(f'{name} measurement failed ({str(e)[:120]})',
                   file=sys.stderr)

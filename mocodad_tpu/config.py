@@ -305,7 +305,11 @@ def effective_n_generated_samples(cfg: Config) -> int:
                          f"got {profile!r}")
     n = cfg.n_generated_samples
     if profile == 'fast':
-        n = min(n, int(cfg.extras.get('fast_profile_samples', 10)))
+        cap = int(cfg.extras.get('fast_profile_samples', 10))
+        if cap < 1:
+            raise ValueError(
+                f'fast_profile_samples must be >= 1, got {cap}')
+        n = min(n, cap)
     return n
 
 
