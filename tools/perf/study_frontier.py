@@ -25,13 +25,13 @@ without redoing finished cells; models are checkpointed per operating
 point the same way.  Summary table prints at the end and is transcribed
 into PERF_NOTES.md ("Fast-eval frontier").
 """
-import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       os.path.expanduser('~/.cache/jax_comp'))
@@ -50,74 +50,25 @@ AGGRS = ['best', 'mean']
 N_SEEDS = 3
 
 
-def build_cfg(data_dir, ckpt_dir, **kw):
-    from mocodad_tpu.config import Config
-    base = dict(
-        split='train', data_dir=data_dir, exp_dir=ckpt_dir,
-        ckpt_dir=ckpt_dir, dataset_choice='UBnormal', seg_len=6,
-        conditioning_strategy='inject', conditioning_indices=[0, 1, 2],
-        conditioning_architecture='AE', channels=[32, 16, 32],
-        embedding_dim=16, h_dim=32, latent_dim=16, dropout=0.0,
-        noise_steps=10, opt_lr=1e-3, batch_size=2048, num_coords=2,
-        num_transform=2, seg_stride=1, n_generated_samples=5,
-        aggregation_strategy='best', model_return_value='loss',
-        vid_res=[640, 360], normalization_strategy='robust',
-        use_hr=False, validation=False, seed=11,
-        filter_kernel_size=5, frames_shift=2, pad_size=-1,
-        test_path=os.path.join(data_dir, 'testing', 'test_frame_mask'),
-        gt_path=os.path.join(data_dir, 'testing', 'test_frame_mask'))
-    base.update(kw)
-    return Config(**base)
+from _study_common import load_results as _load  # noqa: E402
+from _study_common import get_variables as _get_variables  # noqa: E402
+from _study_common import save_results as _save  # noqa: E402
 
 
 def load_results():
-    if os.path.exists(RESULTS):
-        with open(RESULTS) as f:
-            return json.load(f)
-    return {}
+    return _load(RESULTS)
 
 
 def save_results(res):
-    tmp = RESULTS + '.tmp'
-    with open(tmp, 'w') as f:
-        json.dump(res, f, indent=1, sort_keys=True)
-    os.replace(tmp, RESULTS)
+    _save(RESULTS, res)
 
 
 def get_variables(op_name, strength):
     """Train (or reload) the flagship model for one operating point."""
-    from mocodad_tpu.data import build_dataset, synthetic
-    from mocodad_tpu.training.loop import Trainer
-
-    data_dir = os.path.join(ROOT, f'data_{op_name}')
-    ckpt_dir = os.path.join(ROOT, f'ckpt_{op_name}')
-    if not os.path.exists(os.path.join(data_dir, 'training')):
-        synthetic.generate(data_dir, seed=3, n_clips_per_split=4,
-                           n_actors=4, n_frames=300,
-                           anomaly_strength=strength)
-    os.makedirs(ckpt_dir, exist_ok=True)
-    cfg = build_cfg(data_dir, ckpt_dir)
-
-    params_npz = os.path.join(ckpt_dir, 'frontier_params.npz')
-    train_ds = build_dataset(cfg, 'train')
-    test_ds = build_dataset(cfg, 'test')
-    trainer = Trainer(cfg)
-    if os.path.exists(params_npz):
-        import pickle
-        with open(params_npz, 'rb') as f:
-            variables = pickle.load(f)
-        print(f'[{op_name}] reloaded trained params', flush=True)
-    else:
-        t0 = time.perf_counter()
-        state = trainer.fit(train_ds, n_epochs=12)
-        variables = {'params': jax.device_get(state.params),
-                     'batch_stats': jax.device_get(state.batch_stats)}
-        import pickle
-        with open(params_npz, 'wb') as f:
-            pickle.dump(variables, f)
-        print(f'[{op_name}] trained in {time.perf_counter() - t0:.0f}s '
-              f'({train_ds.num_samples} train windows)', flush=True)
-    return cfg, test_ds, variables
+    from mocodad_tpu.data import build_dataset
+    cfg, variables = _get_variables(ROOT, op_name, strength,
+                                    'frontier_params.npz')
+    return cfg, build_dataset(cfg, 'test'), variables
 
 
 def auc_grid(op_name, cfg, test_ds, variables, res):
