@@ -267,7 +267,10 @@ class MoCoDADModel:
         if sample_mask is None:
             return x.mean()
         m = sample_mask.reshape((-1,) + (1,) * (x.ndim - 1))
-        per_sample = x.shape[0] and np.prod(x.shape[1:])
+        # elements per sample; max(1, ...) keeps a degenerate empty batch
+        # a harmless nan (0/0 with an all-zero mask) instead of a
+        # zero-division crash at trace time
+        per_sample = max(1, int(np.prod(x.shape[1:])))
         return (x * m).sum() / (sample_mask.sum() * per_sample)
 
     def loss(self, variables: Dict[str, Any], data: jnp.ndarray,

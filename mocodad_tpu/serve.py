@@ -78,7 +78,14 @@ class OverloadError(RuntimeError):
     fit the new window's views even after dispatching full batches: the
     service is overloaded and the caller must `flush(force=True)` (or
     drop clips) before retrying.  The refused pose is NOT recorded —
-    ingestion-side load shedding."""
+    ingestion-side load shedding.
+
+    Parity note: because the pose is not recorded, retrying the
+    IDENTICAL (frame, keypoints) after recovery keeps the track's
+    window stream bit-equal to the offline path; permanently shedding
+    it instead makes every later window of that actor span a frame gap,
+    which silently weakens the offline-equal scoring claim for that
+    track."""
 
 
 class _Track:
@@ -103,7 +110,9 @@ class StreamScorer:
     max_pending_batches: bound on launched-but-undrained micro-batches;
         `flush` drains the oldest beyond this (device-side backpressure:
         producers block until the device catches up).
-    max_queue_windows: bound on the host-side pending-window queue; a
+    max_queue_windows: bound on the host-side pending queue, in
+        window x view ENTRIES (each accepted window enqueues
+        num_transform entries — the same unit as batch_size); a
         `push` that would exceed it dispatches full batches first, then
         raises `OverloadError` before recording anything if the window's
         views still do not fit (deterministic ingestion-side refusal).

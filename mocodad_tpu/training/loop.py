@@ -120,8 +120,12 @@ class Trainer:
             params, batch_stats = self._load_pretrained_into(params,
                                                              batch_stats)
 
-        opt, _ = self.make_optimizer(steps_per_epoch)
+        opt, schedule = self.make_optimizer(steps_per_epoch)
         self._opt = opt
+        # kept for observability: fit() logs the decayed lr per epoch
+        # (the reference attaches a LearningRateMonitor,
+        # ref train_MoCoDAD.py:57-62)
+        self._schedule = schedule
         self._update_mask = (self.model.trainable_mask(params)
                              if hasattr(self.model, 'trainable_mask')
                              else None)
@@ -586,6 +590,11 @@ class Trainer:
                     val_ds, variables,
                     jax.random.fold_in(rng, (1 << 30) + epoch))
             means.update(val_metrics)
+            # the decayed learning rate, evaluated at the current step —
+            # the reference's LearningRateMonitor(logging_interval='epoch')
+            # (ref train_MoCoDAD.py:57-62); host-side schedule eval, no
+            # device dispatch
+            means['lr'] = float(self._schedule(step))
             line = ' '.join(f'{k}={v:.5f}' for k, v in means.items())
             print(f'[epoch {epoch}] {line} ({wps:.0f} windows/s)', flush=True)
             log_f.write(f'{epoch},epoch_end,' + ','.join(

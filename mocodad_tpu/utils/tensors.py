@@ -73,6 +73,20 @@ def pack_prediction_tensors(res: Dict[str, np.ndarray],
 def load_tensors(ckpt_dir: str, split: str, aggr_strategy: str,
                  n_gen: int) -> Dict[str, np.ndarray]:
     path = tensors_dir(ckpt_dir, split, aggr_strategy, n_gen)
+    if not os.path.isdir(path):
+        # the `_{n_gen}` suffix comes from effective_n_generated_samples:
+        # adding `eval_profile: fast` (or changing fast_profile_samples /
+        # n_generated_samples) after exporting a cache resolves to a
+        # DIFFERENT directory — say so, instead of a bare missing-file
+        raise FileNotFoundError(
+            f'saved-tensor cache not found: {path}\n'
+            f'The trailing _{n_gen} is the effective sample count — '
+            "'eval_profile: fast' / 'fast_profile_samples' / "
+            "'n_generated_samples' all change it, so a cache exported "
+            'under different sampling settings lives in a differently '
+            'named directory. Re-export with the current config '
+            '(save_tensors: true) or match the settings the cache was '
+            'exported under.')
     out: Dict[str, np.ndarray] = {}
     for fname in os.listdir(path):
         name, ext = os.path.splitext(fname)

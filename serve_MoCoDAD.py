@@ -9,6 +9,15 @@ and checkpoint artifacts).  Protocol (one JSON object per line):
         "frame": 17, "keypoints": [[x, y], ... V entries ...]}
   in:  {"type": "end_clip", "scene": 0, "clip": 1, "n_frames": 60}
   out: {"type": "scores", "scene": 0, "clip": 1, "scores": [...]}
+  out: {"type": "error", "error": "overloaded", "scene": 0, "clip": 1,
+        "person": 2, "frame": 17, "detail": "..."}
+
+An "overloaded" error line means the scorer refused that pose at
+ingestion (host queue at --max-queue-windows); the pose was NOT
+recorded.  Producers should retry the identical (frame, keypoints)
+after clips drain to keep streamed windows offline-equal — shedding it
+permanently changes that track's windows (mocodad_tpu/serve.py
+OverloadError).  The service keeps running either way.
 
 Scores follow the exact offline chain (mocodad_tpu/serve.py); when the
 config sets pad_size != -1 the gt mask is read from cfg.gt_path like the
@@ -22,13 +31,15 @@ import os
 import sys
 
 
-def serve(cfg, fin, fout, batch_size: int, flush_every):
+def serve(cfg, fin, fout, batch_size: int, flush_every,
+          max_queue_windows=None):
     import numpy as np
 
-    from mocodad_tpu.serve import StreamScorer
+    from mocodad_tpu.serve import OverloadError, StreamScorer
 
     scorer = StreamScorer(cfg, batch_size=batch_size,
-                          flush_every=flush_every)
+                          flush_every=flush_every,
+                          max_queue_windows=max_queue_windows)
     for line in fin:
         line = line.strip()
         if not line:
@@ -51,6 +62,20 @@ def serve(cfg, fin, fout, batch_size: int, flush_every):
                 scorer.push(int(msg['scene']), int(msg['clip']),
                             int(msg['person']), int(msg['frame']),
                             np.asarray(msg['keypoints'], dtype=np.float32))
+            except OverloadError as e:
+                # the documented ingestion-side refusal
+                # (mocodad_tpu/serve.py OverloadError) must surface at the
+                # protocol level, not kill the long-running service: emit
+                # an error line so the producer can shed/retry this exact
+                # (frame, keypoints) — retrying it preserves offline
+                # parity, dropping it permanently alters the track's
+                # windows (serve.py OverloadError docstring)
+                fout.write(json.dumps({
+                    'type': 'error', 'error': 'overloaded',
+                    'scene': msg.get('scene'), 'clip': msg.get('clip'),
+                    'person': msg.get('person'), 'frame': msg.get('frame'),
+                    'detail': str(e)}) + '\n')
+                fout.flush()
             except (KeyError, TypeError, ValueError) as e:
                 print(f'skipping malformed pose message ({e}): {line[:120]}',
                       file=sys.stderr)
@@ -98,13 +123,31 @@ def main():
     parser.add_argument('--flush-every', type=int, default=None,
                         help='auto-run inference once this many windows '
                              'are pending (default: only at end_clip)')
+    parser.add_argument('--max-queue-windows', type=int, default=None,
+                        help='host-side pending queue cap in window x view '
+                             'entries (default: 64 x batch-size); pushes '
+                             'beyond it are refused with an "overloaded" '
+                             'error line instead of growing memory')
     cli = parser.parse_args()
+
+    if (cli.max_queue_windows is not None
+            and cli.max_queue_windows < cli.batch_size):
+        # a cap below the static batch means a plain flush() can never
+        # drain the queue (it only runs full batches), so sustained input
+        # would refuse every window past the cap — a sizing error, not a
+        # load condition; fail at startup with the fix spelled out
+        parser.error(
+            f'--max-queue-windows ({cli.max_queue_windows}) must be >= '
+            f'--batch-size ({cli.batch_size}): a cap below the static '
+            'batch can never fill a batch, so every push past the cap '
+            'would be refused')
 
     from mocodad_tpu.config import load_config
     from mocodad_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     cfg = load_config(cli.config)
-    serve(cfg, sys.stdin, sys.stdout, cli.batch_size, cli.flush_every)
+    serve(cfg, sys.stdin, sys.stdout, cli.batch_size, cli.flush_every,
+          max_queue_windows=cli.max_queue_windows)
 
 
 if __name__ == '__main__':

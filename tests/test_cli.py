@@ -182,3 +182,85 @@ def test_serve_cli_streams_scores(workspace):
     scores = np.asarray(scores_msgs[0]['scores'])
     assert scores.shape == (gt.shape[0],)
     assert np.isfinite(scores).all() and (scores >= 0).all()
+
+
+def test_serve_cli_survives_sustained_overload(workspace):
+    """Sustained overload surfaces as protocol-level "overloaded" error
+    lines, not process death: with num_transform=5 and the queue cap at
+    one batch, each accepted window enqueues 5 views, so the queue tops
+    out below a full batch (30 < 32) and the next push refuses — the one
+    documented OverloadError route reachable with cap >= batch_size
+    (mocodad_tpu/serve.py push).  The service must keep scoring clips
+    afterwards."""
+    import json
+
+    import numpy as np
+
+    root = workspace['root']
+    serve_cfg = dict(workspace['test_cfg'], num_transform=5)
+    serve_yaml = root / 'serve_overload.yaml'
+    serve_yaml.write_text(yaml.safe_dump(serve_cfg))
+
+    rs = np.random.RandomState(11)
+    lines = []
+    n_frames = 40
+    for frame in range(1, n_frames + 1):
+        lines.append(json.dumps({
+            'type': 'pose', 'scene': 1, 'clip': 1, 'person': 0,
+            'frame': frame,
+            'keypoints': (rs.rand(17, 2) * 100 + 10).tolist()}))
+    lines.append(json.dumps({'type': 'end_clip', 'scene': 1, 'clip': 1,
+                             'n_frames': n_frames}))
+    # after the forced finalize flush the service must accept new poses
+    # and score a second clip (recovery, not just survival)
+    for frame in range(1, 8):
+        lines.append(json.dumps({
+            'type': 'pose', 'scene': 1, 'clip': 2, 'person': 0,
+            'frame': frame,
+            'keypoints': (rs.rand(17, 2) * 100 + 10).tolist()}))
+    lines.append(json.dumps({'type': 'end_clip', 'scene': 1, 'clip': 2,
+                             'n_frames': 7}))
+
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('PYTHONPATH', None)
+    out = subprocess.run(
+        [sys.executable, '-u', 'serve_MoCoDAD.py', '--config',
+         str(serve_yaml), '--batch-size', '32', '--max-queue-windows', '32'],
+        cwd=REPO, env=env, input='\n'.join(lines) + '\n',
+        capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, \
+        f'serve died under overload:\n{out.stdout}\n{out.stderr}'
+    msgs = [json.loads(l) for l in out.stdout.splitlines() if l.strip()]
+    overloaded = [m for m in msgs if m.get('type') == 'error'
+                  and m.get('error') == 'overloaded']
+    # warm-up frames 1-5 are free; frames 6-11 enqueue 5 views each
+    # (queue 5..30); every later frame refuses (30 + 5 > 32, no full
+    # batch to flush) until end_clip force-drains
+    assert len(overloaded) == n_frames - 11, [m.get('frame')
+                                              for m in overloaded]
+    assert overloaded[0]['frame'] == 12 and overloaded[0]['scene'] == 1
+    assert 'max_queue_windows=32' in overloaded[0]['detail']
+    scores_msgs = [m for m in msgs if m.get('type') == 'scores']
+    assert [(m['scene'], m['clip']) for m in scores_msgs] == [(1, 1), (1, 2)]
+    for m, n in zip(scores_msgs, (n_frames, 7)):
+        s = np.asarray(m['scores'])
+        assert s.shape == (n,) and np.isfinite(s).all()
+
+
+def test_serve_cli_rejects_undrainable_queue_cap(workspace):
+    """--max-queue-windows below --batch-size is a sizing error (a plain
+    flush can never fill a batch, so every post-warmup push would
+    refuse): the CLI must fail at startup with the fix spelled out, not
+    start a service that refuses everything."""
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('PYTHONPATH', None)
+    out = subprocess.run(
+        [sys.executable, '-u', 'serve_MoCoDAD.py', '--config',
+         str(workspace['test_yaml']), '--batch-size', '32',
+         '--max-queue-windows', '8'],
+        cwd=REPO, env=env, input='', capture_output=True, text=True,
+        timeout=300)
+    assert out.returncode == 2, (out.returncode, out.stderr)
+    assert 'must be >= --batch-size' in out.stderr

@@ -248,6 +248,21 @@ def test_load_tensors_reads_reference_pt_caches(tmp_path):
         np.testing.assert_array_equal(got[name], want[name])
 
 
+def test_load_tensors_missing_cache_names_profile_lever(tmp_path):
+    """A missing cache directory must name the resolved path and explain
+    that the sampling settings (eval_profile / fast_profile_samples /
+    n_generated_samples) pick the `_{n}` suffix — the failure mode is a
+    replay config whose `eval_profile: fast` was added after the cache
+    was exported at the full count."""
+    from mocodad_tpu.utils.tensors import load_tensors, tensors_dir
+
+    with pytest.raises(FileNotFoundError) as e:
+        load_tensors(str(tmp_path), 'test', 'best', 10)
+    msg = str(e.value)
+    assert tensors_dir(str(tmp_path), 'test', 'best', 10) in msg
+    assert 'eval_profile' in msg and 'n_generated_samples' in msg
+
+
 def test_roc_auc_rejects_nan_scores():
     """A NaN score ranks last in np.unique and would silently count as
     the MAXIMAL anomaly; sklearn raises — so do we."""

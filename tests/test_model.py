@@ -394,6 +394,7 @@ def test_train_dtype_bf16_mixed_precision_contract():
         want = momentum * (1.0 + delta)
         assert abs(got - want) < delta / 4, (got, want)
 
+
 def test_train_dtype_bf16_latent_variant_contract():
     """The latent variant honors `train_dtype: bfloat16` with the same
     contract as the base model (f32 masters/grads/BN stats/loss, bf16

@@ -110,6 +110,37 @@ def test_train_step_on_8_device_mesh(tmp_path):
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
+def test_lr_logged_per_epoch(tmp_path):
+    """The decayed learning rate is observable per epoch in metrics.csv
+    (the reference attaches a LearningRateMonitor, ref
+    train_MoCoDAD.py:57-62): an lr field on every epoch_end row, equal
+    to the ExponentialLR(0.99) schedule at the epoch-end step."""
+    from mocodad_tpu.data.pipeline import PoseWindows
+    rng = np.random.default_rng(7)
+    ds = PoseWindows(
+        data=rng.normal(size=(128, 2, 6, 17)).astype(np.float32) * 0.1,
+        meta=np.zeros((128, 4), np.int64),
+        frames=np.tile(np.arange(1, 7, dtype=np.int32), (128, 1)),
+        num_transform=1)
+    cfg = _tiny_cfg(tmp_path, opt_lr=1e-3)
+    Trainer(cfg, mesh=make_mesh(1)).fit(ds, n_epochs=3)
+
+    lrs = []
+    with open(os.path.join(cfg.ckpt_dir, 'metrics.csv')) as f:
+        for line in f:
+            epoch, tag, rest = line.split(',', 2)
+            if tag != 'epoch_end':
+                continue
+            fields = dict(kv.split('=') for kv in rest.strip().split(','))
+            assert 'lr' in fields, line
+            lrs.append(float(fields['lr']))
+    # staircase decay: epoch k ends at step (k+1)*steps_per_epoch,
+    # where the schedule has already stepped down k+1 times
+    assert len(lrs) == 3
+    np.testing.assert_allclose(
+        lrs, [1e-3 * 0.99 ** (k + 1) for k in range(3)], rtol=1e-6)
+
+
 def test_resume_matches_uninterrupted_run(tmp_path):
     """A run killed after epoch k and resumed from last.ckpt must follow the
     exact same trajectory as an uninterrupted run (same fold_in RNG stream,
