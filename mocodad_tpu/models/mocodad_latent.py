@@ -239,8 +239,19 @@ class MoCoDADLatentModel(MoCoDADModel):
     # -- generation ---------------------------------------------------------
 
     def generate(self, variables, data, rng, aggr_strategy=None,
-                 n_samples=None):
-        """(ref `MoCoDADlatent.forward`, mocodad_latent.py:69-132)."""
+                 n_samples=None, noise_override=None):
+        """(ref `MoCoDADlatent.forward`, mocodad_latent.py:69-132).
+
+        `noise_override`, when given, is `(z0, zs)` — the initial latent
+        noise (S*B, latent_embedding_dim) and the per-step noise
+        (n_chain_steps, S*B, latent_embedding_dim), both in the b-major
+        sample fold (row = b*S + s); n_chain_steps is noise_steps-1 for
+        the DDPM sampler and the DDIM subsequence length otherwise.  It
+        replaces the internal gaussian draws so the latent reverse chain
+        can be pinned step-for-step against the reference torch loop
+        (ref mocodad_latent.py:102-129); normal callers never pass it.
+        Ignored in the 'pretrain' stage (no sampling there).
+        """
         aggr = aggr_strategy or self.aggregation_strategy
         s = n_samples or self.n_generated_samples
         r_order, r_init, r_steps, r_aggr = jax.random.split(rng, 4)
@@ -261,8 +272,13 @@ class MoCoDADLatentModel(MoCoDADModel):
                                 method=MoCoDADLatentNet.encode_input)
         # b-major sample fold (see MoCoDADModel.generate)
         emb_tiled = jnp.repeat(cond_emb, s, axis=0)
-        antithetic = self.antithetic and s > 1
-        if antithetic:
+        antithetic = (self.antithetic and s > 1
+                      and noise_override is None)
+        if noise_override is not None:
+            z0, z_steps = noise_override
+            z0 = jnp.asarray(z0, dtype=latent.dtype)
+            z_steps = jnp.asarray(z_steps, dtype=latent.dtype)
+        elif antithetic:
             from mocodad_tpu.models.mocodad import _mirror_fold
             z0 = _mirror_fold(jax.random.normal(
                 r_init, (b, (s + 1) // 2, self.latent_embedding_dim),
@@ -280,14 +296,17 @@ class MoCoDADLatentModel(MoCoDADModel):
             ts = jnp.asarray(ts_np, dtype=jnp.int32)
         else:
             ts = jnp.arange(self.schedule.noise_steps - 1, 0, -1)
-        keys = jax.random.split(r_steps, ts.shape[0])
+        z_src = (z_steps if noise_override is not None
+                 else jax.random.split(r_steps, ts.shape[0]))
 
-        def draw_noise(key, z):
+        def draw_noise(z_in, z):
+            if noise_override is not None:
+                return z_in
             if antithetic:
                 from mocodad_tpu.models.mocodad import _mirror_fold
                 return _mirror_fold(jax.random.normal(
-                    key, (b, (s + 1) // 2, z.shape[-1]), dtype=z.dtype), s)
-            return jax.random.normal(key, z.shape, dtype=z.dtype)
+                    z_in, (b, (s + 1) // 2, z.shape[-1]), dtype=z.dtype), s)
+            return jax.random.normal(z_in, z.shape, dtype=z.dtype)
 
         def step(z, inputs):
             if use_ddim:
@@ -312,7 +331,7 @@ class MoCoDADLatentModel(MoCoDADModel):
             ) + jnp.sqrt(beta) * noise
             return z, None
 
-        xs_in = (ts, cxs, ces, czs, keys) if use_ddim else (ts, keys)
+        xs_in = (ts, cxs, ces, czs, z_src) if use_ddim else (ts, z_src)
         z, _ = jax.lax.scan(step, z0, xs_in,
                             unroll=self.scan_unroll)
         zs = jnp.moveaxis(z.reshape(b, s, self.latent_embedding_dim), 1, 0)

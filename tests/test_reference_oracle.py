@@ -310,3 +310,94 @@ def test_generation_chain_matches_reference_loop():
                                                      jnp.asarray(zs_f)))
     np.testing.assert_allclose(np.asarray(sel_loss), want_loss, atol=1e-4)
     np.testing.assert_allclose(np.asarray(sel_x), want_x, atol=1e-4)
+
+
+def test_latent_generation_chain_matches_reference_loop():
+    """Step-for-step LATENT reverse-chain parity: the reference's Python
+    loop over the latent DDPM (ref models/mocodad_latent.py:102-129 —
+    frozen STSE_Unet encoder -> MLP Denoiser chain) driven with the real
+    torch modules vs the repo's `lax.scan` sampler, both consuming
+    identical gaussian draws, through the 'best' aggregation against the
+    encoded latent (ref models/mocodad_latent.py:127)."""
+    _, RefSTSEUnet, RefSTSAE, _, RefDenoiser = _ref_modules()
+    model = MoCoDADLatentModel(_cfg(
+        diffusion_on_latent=True, stage='diffusion', latent_embedding_dim=32,
+        hidden_sizes=[32, 64, 32]))
+    variables = _perturb(jax.device_get(
+        model.init_variables(jax.random.key(21))), seed=23)
+    sd = export_torch_state_dict(variables)
+
+    # one container so the joint ('model', 'condition_encoder',
+    # 'denoiser') prefix tree is validated strictly
+    class Container(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = RefSTSEUnet(
+                c_in=2, embedding_dim=16, latent_dim=32, n_frames=3,
+                n_joints=17, dropout=0.0, set_out_layer=True,
+                unet_down_channels=[16, 32, 32, 64, 64, 128, 64])
+            self.condition_encoder = RefSTSAE(
+                c_in=2, h_dim=32, latent_dim=16, n_frames=3, n_joints=17,
+                layer_channels=[32, 16, 32], dropout=0.0)
+            self.denoiser = RefDenoiser(
+                input_size=32, hidden_sizes=[32, 64, 32], cond_size=16)
+
+    net = Container()
+    net.load_state_dict({k: torch.from_numpy(np.array(v, copy=True))
+                         for k, v in sd.items()}, strict=True)
+    net.eval()
+
+    rs = np.random.RandomState(24)
+    b, s, steps, dim = 3, 2, model.schedule.noise_steps, 32
+    data = rs.randn(b, 2, 6, 17).astype(np.float32)
+    z0 = rs.randn(s, b, dim).astype(np.float32)
+    zs = rs.randn(steps - 1, s, b, dim).astype(np.float32)
+
+    # -- torch side: the reference's latent eval loop verbatim -----------
+    dt = torch.from_numpy(data)
+    cond_t, corrupt_t = dt[:, :, :3], dt[:, :, 3:]
+    alpha = torch.from_numpy(np.array(model.schedule.alpha))
+    alpha_hat = torch.from_numpy(np.array(model.schedule.alpha_hat))
+    beta = torch.from_numpy(np.array(model.schedule.beta))
+    t_const = torch.full((b,), -1, dtype=torch.long)
+    generated = []
+    with torch.no_grad():
+        emb_t, _ = net.condition_encoder(cond_t, t=None)
+        latent_t, _ = net.model(corrupt_t, t_const, condition_data=emb_t)
+        for si in range(s):
+            x = torch.from_numpy(z0[si])
+            for k, i in enumerate(reversed(range(1, steps))):
+                t = torch.full((b,), i, dtype=torch.long)
+                pred = net.denoiser(x, t, emb_t)
+                a, ah, be = alpha[i], alpha_hat[i], beta[i]
+                noise = (torch.from_numpy(zs[k, si]) if i > 1
+                         else torch.zeros_like(x))
+                x = (1 / torch.sqrt(a)) * (
+                    x - ((1 - a) / torch.sqrt(1 - ah)) * pred
+                ) + torch.sqrt(be) * noise
+            generated.append(x)
+    # 'best' aggregation against the ENCODED latent, not the pose
+    # (ref models/mocodad_latent.py:127 -> models/mocodad.py:505-512)
+    losses = [torch.nn.functional.smooth_l1_loss(
+        g, latent_t, reduction='none').reshape(b, -1).mean(-1)
+        for g in generated]
+    losses = torch.stack(losses)              # (S, B)
+    best = losses.min(0)
+    want_loss = best.values.numpy()
+    want_z = torch.stack(generated)[best.indices,
+                                    torch.arange(b)].numpy()
+
+    # -- repo side: fold draws b-major (row = b*S + s) and run generate --
+    z0_f = z0.transpose(1, 0, 2).reshape(s * b, dim)
+    zs_f = zs.transpose(0, 2, 1, 3).reshape(steps - 1, s * b, dim)
+    sel_z, sel_loss = model.generate(variables, jnp.asarray(data),
+                                     jax.random.key(25),
+                                     noise_override=(jnp.asarray(z0_f),
+                                                     jnp.asarray(zs_f)))
+    np.testing.assert_allclose(np.asarray(sel_loss), want_loss, rtol=1e-5,
+                               atol=1e-4)
+    # the perturbed-random chain amplifies latents to O(100): a pure
+    # atol would demand ~1e-9 relative agreement from two f32 9-step
+    # chains; rtol carries the comparison for the large entries
+    np.testing.assert_allclose(np.asarray(sel_z), want_z, rtol=1e-5,
+                               atol=1e-4)
