@@ -358,3 +358,34 @@ def test_overload_refusal_is_deterministic_and_recoverable(synth, fitted):
     assert scorer.pending == 2
     scores = scorer.finalize_clip(1, 1, n_frames=12)
     assert scores.shape == (12,) and np.all(np.isfinite(scores))
+
+
+@pytest.mark.parametrize('joint_kw, n_joints', [
+    (dict(kp18_format=True), 18),
+    (dict(headless=True), 14),
+])
+def test_streamed_kp18_headless_windows_and_scores(synth, fitted, tmp_path,
+                                                   joint_kw, n_joints):
+    """The serve-side joint remap branch (serve.py _enqueue_window: scale
+    17-joint coords, then kp18 COCO-18 conversion / headless slice —
+    the same order as the offline robust path) end-to-end: streamed
+    windows bit-equal to build_dataset, and finalize_clip runs the
+    n_joints != 17 model through inference to finite scores."""
+    import pathlib
+    cfg = _cfg(synth, pathlib.Path(fitted.ckpt_dir), **joint_kw)
+    ds = build_dataset(cfg, 'test')
+    assert ds.data.shape[1:] == (2, 6, n_joints)
+
+    scorer = StreamScorer(cfg, variables=_init_vars(cfg), batch_size=32)
+    _stream_test_split(scorer, synth)
+
+    sel = [i for i, tr in enumerate(scorer._q_trans) if tr == 0]
+    got = np.stack([scorer._q_data[i] for i in sel])
+    assert got.shape == ds.data.shape
+    np.testing.assert_array_equal(got, ds.data)
+
+    key = (int(ds.meta[0, 0]), int(ds.meta[0, 1]))
+    n_frames = int(ds.frames[ds.meta[:, 1] == key[1]].max()) + 1
+    scores = scorer.finalize_clip(key[0], key[1], n_frames)
+    assert scores.shape == (n_frames,)
+    assert np.isfinite(scores).all() and scores.max() > 0
