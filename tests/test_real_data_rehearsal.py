@@ -80,11 +80,11 @@ def reference_layout(tmp_path_factory):
     return root
 
 
-def _shipped_config(overrides):
-    """The shipped UBnormal train YAML's keys, with only scale knobs and
-    run-control flags overridden (paths stay CWD-relative)."""
-    with open(os.path.join(REPO, 'config', 'UBnormal',
-                           'mocodad_train.yaml')) as f:
+def _shipped_config(overrides, dataset='UBnormal', which='train'):
+    """A shipped YAML's keys, with only scale knobs and run-control flags
+    overridden (paths stay CWD-relative)."""
+    with open(os.path.join(REPO, 'config', dataset,
+                           f'mocodad_{which}.yaml')) as f:
         raw = yaml.safe_load(f)
     raw.update(
         # scale knobs only: 2 epochs, small batch, 3 samples, 2 views
@@ -175,3 +175,145 @@ def test_reference_layout_end_to_end(reference_layout):
                             load_ckpt='exported_reference_style.ckpt'), f)
     torch_auc = _auc(_run('eval_MoCoDAD.py', torch_yaml, cwd=root))
     assert abs(torch_auc - direct) < 1e-9, (torch_auc, direct)
+
+
+def test_hr_avenue_layout_end_to_end(tmp_path):
+    """HR-Avenue's exact on-disk layout through the unmodified CLIs,
+    including the HARDCODED per-clip mask route end-to-end: the
+    reference keeps Avenue's human-related frame masks as inline
+    constants keyed by clip id with exact clip lengths
+    (ref utils/eval_utils.py:152-166 — V_16 is 740 frames), so the
+    synthetic tree carries a 740-frame clip 16 plus non-masked clips,
+    laid out as ./data/HR-Avenue/{training,testing}/** (no validating
+    split — Avenue has none; shipped config/Avenue YAMLs, scale knobs
+    only)."""
+    import shutil
+
+    from mocodad_tpu.data.synthetic import generate
+
+    root = tmp_path
+    data = root / 'data' / 'HR-Avenue'
+    generate(str(data), seed=19, n_clips_per_split=2, n_actors=2,
+             n_frames=60, vid_res=(640, 360))
+    # Avenue ships no validating split
+    shutil.rmtree(data / 'validating')
+    # clips 1/2 collide with hardcoded mask ids at the wrong length
+    # (V_01 is 1439 frames) -> rename to non-masked ids 4/5
+    tdir, gdir = data / 'testing' / 'trajectories', \
+        data / 'testing' / 'test_frame_mask'
+    for old, new in ((1, 4), (2, 5)):
+        os.rename(tdir / f'1-{old}', tdir / f'1-{new}')
+        os.rename(gdir / f'1_{old}.npy', gdir / f'1_{new}.npy')
+    # the masked clip: id 16 at EXACTLY the hardcoded 740 frames
+    scratch = root / 'scratch'
+    generate(str(scratch), seed=20, n_clips_per_split=1, n_actors=1,
+             n_frames=740, vid_res=(640, 360))
+    os.rename(scratch / 'testing' / 'trajectories' / '1-1', tdir / '1-16')
+    os.rename(scratch / 'testing' / 'test_frame_mask' / '1_1.npy',
+              gdir / '1_16.npy')
+    assert np.load(gdir / '1_16.npy').shape[0] == 740
+
+    train_raw = _shipped_config(
+        dict(dir_name='avenue_rehearsal', n_epochs=2, batch_size=256,
+             n_generated_samples=3, num_transform=2, num_workers=0,
+             use_wandb=False, accelerator='cpu', devices=[0], seed=6),
+        dataset='Avenue')
+    assert train_raw['data_dir'] == './data/HR-Avenue/'
+    assert train_raw['dataset_choice'] == 'HR-Avenue'
+    assert train_raw['validation'] is False
+    train_yaml = str(root / 'train.yaml')
+    with open(train_yaml, 'w') as f:
+        yaml.safe_dump(train_raw, f)
+    _run('train_MoCoDAD.py', train_yaml, cwd=str(root))
+    ckpt_dir = os.path.join(str(root), 'checkpoints', 'HR-Avenue',
+                            'avenue_rehearsal')
+    for name in ('last.ckpt', 'best_weights.ckpt', 'local_robust.npz'):
+        assert os.path.exists(os.path.join(ckpt_dir, name)), name
+
+    test_raw = _shipped_config(
+        dict(dir_name='avenue_rehearsal', load_ckpt='best_weights.ckpt',
+             batch_size=256, n_generated_samples=3, num_transform=2,
+             num_workers=0, use_wandb=False, accelerator='cpu',
+             devices=[0], seed=6, save_tensors=True),
+        dataset='Avenue', which='test')
+    assert test_raw['pad_size'] == 12      # shipped Avenue absence padding
+    test_yaml = str(root / 'test.yaml')
+    with open(test_yaml, 'w') as f:
+        yaml.safe_dump(test_raw, f)
+    direct = _auc(_run('eval_MoCoDAD.py', test_yaml, cwd=str(root)))
+    assert 0.0 <= direct <= 1.0
+
+    # prove the hardcoded mask fired INSIDE the CLI run: rescore the
+    # exported tensors in-process — masked equals the CLI AUC exactly,
+    # unmasked (same tensors, so identical model noise) differs
+    from mocodad_tpu.config import from_dict
+    from mocodad_tpu.eval.harness import post_processing_from_config
+    from mocodad_tpu.utils.tensors import load_tensors
+    cwd = os.getcwd()
+    os.chdir(str(root))      # CWD-relative shipped paths
+    try:
+        # from_dict skips init_args' gt_path <- test_path derivation
+        cfg = from_dict(dict(test_raw, ckpt_dir=ckpt_dir,
+                             gt_path=test_raw['test_path']))
+        t = load_tensors(ckpt_dir, 'test', cfg.aggregation_strategy, 3)
+        masked = post_processing_from_config(
+            t['prediction'], t['trans'], t['metadata'], t['frames'], cfg)
+        unmasked = post_processing_from_config(
+            t['prediction'], t['trans'], t['metadata'], t['frames'], cfg,
+            dataset_name='STC')
+    finally:
+        os.chdir(cwd)
+    # the CLI prints the AUC rounded to 6 decimals
+    assert abs(masked - direct) < 5e-7, (masked, direct)
+    assert abs(unmasked - direct) > 5e-7, \
+        'Avenue mask had no effect on the AUC'
+
+
+def test_hr_stc_layout_end_to_end(tmp_path):
+    """HR-STC's exact on-disk layout (./data/HR-ShanghaiTech/ — the
+    folder name differs from the dataset_choice, ref
+    config/STC/mocodad_test.yaml:17) through the unmodified train/eval
+    CLIs with the shipped STC YAML family (856x480 resolution, train
+    seg_stride 6, pad_size -1), scale knobs only."""
+    import shutil
+
+    from mocodad_tpu.data.synthetic import generate
+
+    root = tmp_path
+    data = root / 'data' / 'HR-ShanghaiTech'
+    generate(str(data), seed=21, n_clips_per_split=2, n_actors=2,
+             n_frames=60, vid_res=(856, 480))
+    shutil.rmtree(data / 'validating')   # STC ships no validating split
+
+    train_raw = _shipped_config(
+        dict(dir_name='stc_rehearsal', n_epochs=2, batch_size=256,
+             n_generated_samples=3, num_transform=2, num_workers=0,
+             use_wandb=False, accelerator='cpu', devices=[0], seed=7),
+        dataset='STC')
+    assert train_raw['data_dir'] == './data/HR-ShanghaiTech/'
+    assert train_raw['dataset_choice'] == 'HR-STC'
+    assert train_raw['vid_res'] == [856, 480]
+    assert train_raw['seg_stride'] == 6    # shipped STC train stride
+    train_yaml = str(root / 'train.yaml')
+    with open(train_yaml, 'w') as f:
+        yaml.safe_dump(train_raw, f)
+    _run('train_MoCoDAD.py', train_yaml, cwd=str(root))
+    ckpt_dir = os.path.join(str(root), 'checkpoints', 'HR-STC',
+                            'stc_rehearsal')
+    for name in ('last.ckpt', 'best_weights.ckpt', 'local_robust.npz'):
+        assert os.path.exists(os.path.join(ckpt_dir, name)), name
+
+    test_raw = _shipped_config(
+        dict(dir_name='stc_rehearsal', load_ckpt='best_weights.ckpt',
+             batch_size=256, n_generated_samples=3, num_transform=2,
+             num_workers=0, use_wandb=False, accelerator='cpu',
+             devices=[0], seed=7),
+        dataset='STC', which='test')
+    assert test_raw['pad_size'] == -1      # shipped STC: no absence padding
+    test_yaml = str(root / 'test.yaml')
+    with open(test_yaml, 'w') as f:
+        yaml.safe_dump(test_raw, f)
+    auc = _auc(_run('eval_MoCoDAD.py', test_yaml, cwd=str(root)))
+    # test-split windows always re-stride to 1 (utils/dataset.py:308),
+    # so the stride-6 train config still scores every frame
+    assert 0.0 <= auc <= 1.0
