@@ -163,6 +163,20 @@ def build_training_runner(cfg, model, k: int = 8):
         return BATCH * k * iters / (time.perf_counter() - t0)
 
     run(1)   # compile warmup (fenced)
+    # XLA's own FLOP count for the compiled launch (k batches of fwd+bwd
+    # +optimizer): the honest numerator for training MFU — it includes
+    # the condition encoder, AE decoder, and backward, which the
+    # analytic unet_cost (main-net forward only) does not.  lower() hits
+    # the persistent compilation cache, so this is cheap.
+    try:
+        ca = step.lower(state, pool, batches(), rng).compile() \
+                 .cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        run.xla_flops_per_launch = float(ca['flops'])
+    except Exception:
+        run.xla_flops_per_launch = None
+    run.windows_per_launch = BATCH * k
     return run
 
 
@@ -179,7 +193,7 @@ def main():
     enable_compilation_cache(os.environ['JAX_COMPILATION_CACHE_DIR'])
     from mocodad_tpu.models import MoCoDADModel
     from mocodad_tpu.ops.roofline import (HBM_BYTES_PER_S, PEAK_BF16_FLOPS,
-                                          unet_cost)
+                                          PEAK_F32_FLOPS, unet_cost)
 
     from mocodad_tpu.config import flagship_config
     cfg = flagship_config(noise_steps=NOISE_STEPS,
@@ -326,9 +340,13 @@ def main():
     # "bf16 training study") rides alongside.
     train_wps = None
     train_wps_bf16 = None
+    train_flops = None
+    train_flops_bf16 = None
     if os.environ.get('MOCODAD_BENCH_TRAIN', '1') != '0':
         try:
-            train_wps = measure_training(cfg, model)
+            train_run = build_training_runner(cfg, model)
+            train_wps = train_run()
+            train_flops = train_run.xla_flops_per_launch
         except Exception as e:
             print(f'training measurement failed ({str(e)[:120]})',
                   file=sys.stderr)
@@ -338,8 +356,9 @@ def main():
                 raw = cfg.to_dict()
                 raw.update(train_dtype='bfloat16')
                 cfg16 = from_dict(raw)
-                train_wps_bf16 = measure_training(cfg16,
-                                                  MoCoDADModel(cfg16))
+                run16 = build_training_runner(cfg16, MoCoDADModel(cfg16))
+                train_wps_bf16 = run16()
+                train_flops_bf16 = run16.xla_flops_per_launch
             except Exception as e:
                 print(f'bf16 training measurement failed ({str(e)[:120]})',
                       file=sys.stderr)
@@ -383,8 +402,29 @@ def main():
             'the full reference protocol (50 samples x 9 steps)')
     if train_wps is not None:
         out['training_windows_per_sec'] = round(train_wps, 1)
+        # training roofline context, same honesty as eval: per window one
+        # main-net fwd+bwd (~3x forward row passes on the MXU; condition
+        # encoder/AE decoder excluded, so the ceiling is OPTIMISTIC —
+        # a measured number above it would be implausible, one well below
+        # it is granularity-bound like eval)
+        train_ceiling_f32 = PEAK_F32_FLOPS / (3 * c.mxu_row_cost)
+        out['training_mxu_granularity_ceiling_windows_per_sec'] = round(
+            train_ceiling_f32, 1)
+        out['training_pct_of_granularity_ceiling'] = round(
+            100 * train_wps / train_ceiling_f32, 1)
+        if train_flops:
+            # numerator = XLA's FLOP count for the whole compiled launch
+            # (fwd+bwd+optimizer over k batches), denominator = f32 MXU
+            # peak (the reference trains f32; matmuls run f32 here)
+            out['training_mfu'] = round(
+                train_flops / train_run.windows_per_launch
+                * train_wps / PEAK_F32_FLOPS, 4)
     if train_wps_bf16 is not None:
         out['training_windows_per_sec_bf16'] = round(train_wps_bf16, 1)
+        if train_flops_bf16:
+            out['training_mfu_bf16'] = round(
+                train_flops_bf16 / run16.windows_per_launch
+                * train_wps_bf16 / PEAK_BF16_FLOPS, 4)
     if baseline_measured is not None:
         # the median IS the headline baseline number (one key, not two —
         # the derivation string names the statistic)
