@@ -109,3 +109,62 @@ def test_animation_gif_export(tmp_path, rng):
     png = str(tmp_path / 'frame.png')
     vis.save_frame(3, png)
     assert os.path.getsize(png) > 1000
+
+
+def test_webapp_with_streamlit_stub(gt_dir, rng, tmp_path, monkeypatch):
+    """viz/webapp.py end-to-end via a streamlit stub (the real package is
+    absent from this image, so this is the module's only coverage — same
+    approach as the wandb stub in test_training.py): the CLI parses the
+    YAML, resolves the saved-tensor cache through
+    effective_n_generated_samples, prefers the 'loss' route of a pose
+    cache, and renders the selected clip's figure into st.pyplot."""
+    import sys
+    import types
+
+    import yaml
+
+    from mocodad_tpu.utils.tensors import save_tensors
+
+    out, trans, meta, frames = _window_outputs(rng)
+    pose = rng.normal(size=(len(out), 2, 3, 17)).astype(np.float32)
+    ckpt_dir = str(tmp_path / 'checkpoints' / 'UBnormal' / 'webapp')
+    save_tensors({'prediction': pose, 'loss': out, 'gt_data': pose,
+                  'trans': trans, 'metadata': meta, 'frames': frames},
+                 ckpt_dir, 'test', 'best', 2)
+
+    raw = dict(split='test', dataset_choice='UBnormal', dir_name='webapp',
+               exp_dir=str(tmp_path / 'checkpoints'),
+               data_dir=str(tmp_path / 'data'),
+               test_path=gt_dir, create_experiment_dir=False,
+               aggregation_strategy='best', n_generated_samples=2,
+               num_transform=1, use_hr=False, pad_size=-1,
+               filter_kernel_size=3, frames_shift=1, seg_len=6,
+               validation=False)
+    yaml_path = str(tmp_path / 'webapp.yaml')
+    with open(yaml_path, 'w') as f:
+        yaml.safe_dump(raw, f)
+
+    calls = {'title': [], 'select': [], 'figs': []}
+
+    stub = types.ModuleType('streamlit')
+    stub.title = lambda s: calls['title'].append(s)
+
+    def selectbox(label, options):
+        calls['select'].append(list(options))
+        return list(options)[0]
+
+    stub.selectbox = selectbox
+    stub.checkbox = lambda label, value=False: value
+    stub.pyplot = lambda fig: calls['figs'].append(fig)
+    monkeypatch.setitem(sys.modules, 'streamlit', stub)
+    monkeypatch.setattr(sys, 'argv', ['webapp', '--config', yaml_path])
+
+    from mocodad_tpu.viz import webapp
+    webapp.main()
+
+    assert calls['title'] == ['Visualization of UBnormal']
+    # clips come sorted from per_person_scores over the gt tree
+    assert calls['select'] == [[(1, 1), (1, 2)]]
+    assert len(calls['figs']) == 1
+    ax = calls['figs'][0].axes[0]
+    assert 'scene 1 clip 1' in ax.get_title()
