@@ -289,6 +289,15 @@ def copy_config_to_ckpt_dir(cfg: Config, config_path: str) -> None:
             shutil.copyfile(config_path, dst)
 
 
+# Aggregation families whose AUC measurably moves when `eval_profile:
+# fast` caps the sample count to ~10 (tools/perf/study_aggr.py: 7
+# scalar aggregations x S{50,26,10} x 3 seeds x 4 synthetic operating
+# points; decision rule |AUC(S=10) - AUC(S=50)| > max(2 x seed spread,
+# 0.005) at any operating point — PERF_NOTES.md "Fast-profile
+# aggregation frontier").  Keyed by family (the part before ':').
+FAST_PROFILE_UNSAFE_AGGREGATIONS = frozenset()
+
+
 def effective_n_generated_samples(cfg: Config) -> int:
     """Monte-Carlo sample count after the `eval_profile: fast` cap
     (measured AUC-free at S~10 under the reference DDPM chain across
@@ -309,6 +318,22 @@ def effective_n_generated_samples(cfg: Config) -> int:
         if cap < 1:
             raise ValueError(
                 f'fast_profile_samples must be >= 1, got {cap}')
+        family = cfg.aggregation_strategy.split(':')[0]
+        if (cap < n and family in FAST_PROFILE_UNSAFE_AGGREGATIONS
+                and not cfg.extras.get(
+                    'fast_profile_allow_unsafe_aggregation', False)):
+            # the "measured AUC-free" contract of the fast profile does
+            # NOT hold for this family — refuse rather than silently
+            # trade accuracy for speed under a feature sold as free
+            raise ValueError(
+                f"eval_profile: fast caps n_generated_samples to {cap}, "
+                f"but aggregation_strategy "
+                f"'{cfg.aggregation_strategy}' was measured S-cap-"
+                f"UNSAFE at that count (AUC moves beyond sampling "
+                f"noise; PERF_NOTES.md 'Fast-profile aggregation "
+                f"frontier'). Use the full count, a safe aggregation, "
+                f"or set extras fast_profile_allow_unsafe_aggregation: "
+                f"true to accept the accuracy risk.")
         n = min(n, cap)
     return n
 

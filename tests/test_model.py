@@ -474,3 +474,81 @@ def test_eval_profile_fast_caps_samples_keeps_reference_chain():
         effective_n_generated_samples(cfg4)
     with pytest.raises(ValueError, match='eval_profile'):
         MoCoDADModel(cfg4)
+
+
+def test_fast_profile_unsafe_aggregation_gate(monkeypatch):
+    """Aggregation families measured S-cap-UNSAFE (study_aggr.py) are
+    refused under `eval_profile: fast` whenever the cap would actually
+    reduce the sample count — unless explicitly overridden.  The
+    'measured AUC-free' contract must not silently lapse for estimator
+    families the frontier study flagged."""
+    from mocodad_tpu import config as config_mod
+    from mocodad_tpu.config import effective_n_generated_samples
+
+    monkeypatch.setattr(config_mod, 'FAST_PROFILE_UNSAFE_AGGREGATIONS',
+                        frozenset({'quantile'}))
+
+    cfg = _cfg(n_generated_samples=50, aggregation_strategy='quantile:0.9')
+    cfg.extras['eval_profile'] = 'fast'
+    with pytest.raises(ValueError, match='UNSAFE'):
+        effective_n_generated_samples(cfg)
+
+    # explicit override accepts the measured accuracy risk
+    cfg.extras['fast_profile_allow_unsafe_aggregation'] = True
+    assert effective_n_generated_samples(cfg) == 10
+
+    # a cap that does not bite (configured count already <= cap) is not
+    # a coarsening and must pass
+    cfg2 = _cfg(n_generated_samples=8, aggregation_strategy='quantile:0.9')
+    cfg2.extras['eval_profile'] = 'fast'
+    assert effective_n_generated_samples(cfg2) == 8
+
+    # safe families ride the cap untouched
+    cfg3 = _cfg(n_generated_samples=50, aggregation_strategy='best')
+    cfg3.extras['eval_profile'] = 'fast'
+    assert effective_n_generated_samples(cfg3) == 10
+
+
+def test_fast_profile_unsafe_set_matches_archived_study():
+    """The shipped FAST_PROFILE_UNSAFE_AGGREGATIONS set is exactly what
+    the archived aggregation-frontier measurements imply under the
+    study's decision rule (|mean AUC(S=10) - mean AUC(S=50)| >
+    max(2 x max seed spread, 0.005) at ANY operating point) — the gate
+    cannot drift from the evidence it cites."""
+    import glob
+    import json
+    import os
+
+    from mocodad_tpu.config import FAST_PROFILE_UNSAFE_AGGREGATIONS
+
+    paths = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        'tools', 'perf', 'results', 'aggr_*.json')))
+    assert paths, 'archived aggregation study results missing'
+    with open(paths[-1]) as f:
+        res = json.load(f)
+
+    cells = {}   # (aggr, op, S) -> list of seed AUCs
+    for key, vals in res.items():
+        if not key.startswith('auc/'):
+            continue
+        _, op, _chain, _samp, s, aggr = key.split('/')
+        cells[(aggr, op, int(s[1:]))] = vals
+
+    unsafe = set()
+    aggrs = {a for a, _, _ in cells}
+    for aggr in aggrs:
+        for op in {o for a, o, _ in cells if a == aggr}:
+            lo = cells.get((aggr, op, 10))
+            hi = cells.get((aggr, op, 50))
+            if not (lo and hi):
+                continue
+            # the study's bound uses the max seed spread over ALL S
+            # cells of this (aggr, op), including S=26
+            spread = max(max(v) - min(v) for (a, o, _), v in cells.items()
+                         if a == aggr and o == op)
+            delta = abs(sum(lo) / len(lo) - sum(hi) / len(hi))
+            if delta > max(2 * spread, 0.005):
+                unsafe.add(aggr.split(':')[0])
+    assert FAST_PROFILE_UNSAFE_AGGREGATIONS == frozenset(unsafe), (
+        unsafe, FAST_PROFILE_UNSAFE_AGGREGATIONS)

@@ -49,7 +49,12 @@ FRONTIER_RESULTS = os.path.join(ROOT, 'results.json')
 OPERATING_POINTS = [('floor', 0.008), ('mid', 0.012), ('easy', 0.02),
                     ('sep', 0.05)]
 AGGRS = ['median', 'quantile:0.75', 'quantile:0.9',
-         'mean_pose', 'median_pose']
+         'mean_pose', 'median_pose',
+         # re-measured fresh (not merged from the round-4 archive) so the
+         # whole table shares one set of trained params: /tmp was wiped
+         # between rounds, and a fresh train need not reproduce the
+         # round-4 params bit-for-bit.
+         'best', 'mean']
 S_LIST = [50, 26, 10]
 N_SEEDS = 3
 
@@ -104,9 +109,10 @@ def summarize(res):
     if os.path.exists(FRONTIER_RESULTS):
         prior = _load(FRONTIER_RESULTS)
         merged.update({k: v for k, v in prior.items()
-                       if '/ddpm-9/ind/' in k and k.startswith('auc/')})
+                       if '/ddpm-9/ind/' in k and k.startswith('auc/')
+                       and k not in merged})
 
-    all_aggrs = AGGRS + ['best', 'mean']
+    all_aggrs = AGGRS
     print('\n=== S-cap safety per aggregation (ddpm-9, independent) ===',
           flush=True)
     print(f'{"aggr":14s} {"op":6s} {"S=50":>7s} {"S=26":>7s} {"S=10":>7s}'
