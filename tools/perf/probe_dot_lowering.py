@@ -207,7 +207,7 @@ def main():
         measure(f'pad{p}', pd, xb, tbb, eb, results)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       'results', 'dot_lowering_20260819.json')
+                       'results', 'dot_lowering_20260820.json')
     with open(out, 'w') as f:
         json.dump(results, f, indent=1, sort_keys=True)
     print('saved', out, flush=True)
