@@ -298,6 +298,26 @@ def copy_config_to_ckpt_dir(cfg: Config, config_path: str) -> None:
 FAST_PROFILE_UNSAFE_AGGREGATIONS = frozenset()
 
 
+def apply_eval_profile(cfg: Config, profile: Optional[str]) -> None:
+    """Apply a CLI-level eval-profile override onto a loaded config.
+
+    `'fast'` sets `extras['eval_profile'] = 'fast'` (the measured S-cap
+    profile, see `effective_n_generated_samples`); `'full'` removes any
+    profile so the unmodified reference protocol runs; `None` leaves the
+    config untouched.  Validates eagerly so a bad combination fails at
+    the CLI boundary, not mid-eval."""
+    if profile is None:
+        return
+    if profile == 'fast':
+        cfg.extras['eval_profile'] = 'fast'
+    elif profile == 'full':
+        cfg.extras.pop('eval_profile', None)
+    else:
+        raise ValueError(f"eval profile must be 'fast' or 'full', "
+                         f"got {profile!r}")
+    effective_n_generated_samples(cfg)
+
+
 def effective_n_generated_samples(cfg: Config) -> int:
     """Monte-Carlo sample count after the `eval_profile: fast` cap
     (measured AUC-free at S~10 under the reference DDPM chain across

@@ -114,6 +114,45 @@ def test_predict_then_replay_matches_direct_eval(workspace):
     assert report.exists() and 'base64' in report.read_text()[:200000]
 
 
+def test_eval_profile_cli_flag(workspace):
+    """`--eval-profile fast` on the eval/predict CLIs: the capped sample
+    count drives the run AND names the saved_tensors_* cache, a replay of
+    that cache under the same profile reproduces the AUC exactly, and
+    `--eval-profile full` on a fast-profile config restores the
+    unmodified protocol (cache dir named by the full count)."""
+    root = workspace['root']
+    ckpt_dir = workspace['ckpt_dir']
+
+    # cap below the configured n_generated_samples=2 so the profile is
+    # observable (effective S=1)
+    fast_cfg = dict(workspace['test_cfg'], fast_profile_samples=1)
+    fast_yaml = root / 'fast.yaml'
+    fast_yaml.write_text(yaml.safe_dump(fast_cfg))
+
+    _run(['predict_MoCoDAD.py', '--config', str(fast_yaml),
+          '--eval-profile', 'fast'])
+    assert (ckpt_dir / 'saved_tensors_test_best_1').exists()
+
+    direct = _auc(_run(['eval_MoCoDAD.py', '--config', str(fast_yaml),
+                        '--eval-profile', 'fast']))
+
+    replay_cfg = dict(fast_cfg, load_tensors=True, eval_profile='fast')
+    replay_yaml = root / 'replay_fast.yaml'
+    replay_yaml.write_text(yaml.safe_dump(replay_cfg))
+    replay = _auc(_run(['eval_MoCoDAD.py', '--config', str(replay_yaml)]))
+    assert abs(direct - replay) < 1e-9, (direct, replay)
+
+    # --eval-profile full strips a config-set profile: the replay falls
+    # back to the full-count cache (written by the predict test when the
+    # whole module runs; created here when this test runs alone)
+    if not (ckpt_dir / 'saved_tensors_test_best_2').exists():
+        _run(['predict_MoCoDAD.py', '--config',
+              str(workspace['test_yaml'])])
+    full_replay = _auc(_run(['eval_MoCoDAD.py', '--config',
+                             str(replay_yaml), '--eval-profile', 'full']))
+    assert 0.0 <= full_replay <= 1.0
+
+
 def test_serve_cli_streams_scores(workspace):
     """serve_MoCoDAD.py: JSONL pose stream in -> per-clip scores out,
     consuming the artifacts the train CLI wrote (checkpoint + scaler)."""
@@ -172,7 +211,8 @@ def test_serve_cli_streams_scores(workspace):
     env.pop('PYTHONPATH', None)
     out = subprocess.run(
         [sys.executable, '-u', 'serve_MoCoDAD.py', '--config',
-         str(serve_yaml), '--batch-size', '32', '--flush-every', '32'],
+         str(serve_yaml), '--batch-size', '32', '--flush-every', '32',
+         '--eval-profile', 'full'],
         cwd=REPO, env=env, input='\n'.join(lines) + '\n',
         capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, f'serve failed:\n{out.stdout}\n{out.stderr}'

@@ -552,3 +552,36 @@ def test_fast_profile_unsafe_set_matches_archived_study():
                 unsafe.add(aggr.split(':')[0])
     assert FAST_PROFILE_UNSAFE_AGGREGATIONS == frozenset(unsafe), (
         unsafe, FAST_PROFILE_UNSAFE_AGGREGATIONS)
+
+
+def test_apply_eval_profile_cli_override(monkeypatch):
+    """The CLI-level `--eval-profile` override: 'fast' enables the cap,
+    'full' strips a config-set profile, None is a no-op, and a profile
+    that the unsafe-aggregation gate refuses fails eagerly at the CLI
+    boundary rather than mid-eval."""
+    from mocodad_tpu import config as config_mod
+    from mocodad_tpu.config import (apply_eval_profile,
+                                    effective_n_generated_samples)
+
+    cfg = _cfg(n_generated_samples=50)
+    apply_eval_profile(cfg, None)
+    assert 'eval_profile' not in cfg.extras
+    assert effective_n_generated_samples(cfg) == 50
+
+    apply_eval_profile(cfg, 'fast')
+    assert cfg.extras['eval_profile'] == 'fast'
+    assert effective_n_generated_samples(cfg) == 10
+
+    apply_eval_profile(cfg, 'full')
+    assert 'eval_profile' not in cfg.extras
+    assert effective_n_generated_samples(cfg) == 50
+
+    with pytest.raises(ValueError, match='fast'):
+        apply_eval_profile(cfg, 'warp')
+
+    # the gate fires at apply time: a measured-unsafe aggregation turns
+    # the override into an immediate refusal
+    monkeypatch.setattr(config_mod, 'FAST_PROFILE_UNSAFE_AGGREGATIONS',
+                        frozenset({'best'}))
+    with pytest.raises(ValueError, match='UNSAFE'):
+        apply_eval_profile(cfg, 'fast')
