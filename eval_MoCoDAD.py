@@ -13,15 +13,10 @@ def main():
     parser.add_argument('--report', action='store_true',
                         help='also write the per-clip score-analysis HTML '
                              'report (viz/report.py) next to the AUC')
-    parser.add_argument('--eval-profile', choices=('fast', 'full'),
-                        default=None,
-                        help="override the config's eval profile: 'fast' "
-                             'caps the Monte-Carlo sample count (measured '
-                             'AUC-free, PERF_NOTES.md), "full" forces the '
-                             'unmodified reference protocol')
+    from mocodad_tpu.config import (add_eval_profile_arg,
+                                    apply_eval_profile, load_config)
+    add_eval_profile_arg(parser)
     cli = parser.parse_args()
-
-    from mocodad_tpu.config import apply_eval_profile, load_config
     cfg = load_config(cli.config)
     apply_eval_profile(cfg, cli.eval_profile)
 

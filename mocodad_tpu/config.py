@@ -298,6 +298,20 @@ def copy_config_to_ckpt_dir(cfg: Config, config_path: str) -> None:
 FAST_PROFILE_UNSAFE_AGGREGATIONS = frozenset()
 
 
+def add_eval_profile_arg(parser) -> None:
+    """Attach the shared `--eval-profile` option to a CLI parser.
+
+    One definition keeps the three CLIs (eval/predict/serve) in lockstep
+    with `apply_eval_profile`'s accepted values."""
+    parser.add_argument(
+        '--eval-profile', choices=('fast', 'full'), default=None,
+        help="override the config's eval profile: 'fast' caps the "
+             'Monte-Carlo sample count (measured AUC-free, PERF_NOTES.md '
+             "'Fast-eval frontier'; names saved_tensors_* caches by the "
+             "capped count), 'full' strips a config-set profile to force "
+             'the unmodified reference protocol')
+
+
 def apply_eval_profile(cfg: Config, profile: Optional[str]) -> None:
     """Apply a CLI-level eval-profile override onto a loaded config.
 
@@ -305,9 +319,12 @@ def apply_eval_profile(cfg: Config, profile: Optional[str]) -> None:
     profile, see `effective_n_generated_samples`); `'full'` removes any
     profile so the unmodified reference protocol runs; `None` leaves the
     config untouched.  Validates eagerly so a bad combination fails at
-    the CLI boundary, not mid-eval."""
+    the CLI boundary, not mid-eval; on refusal the config is left
+    unchanged (so a caller may catch and continue on the old profile)."""
     if profile is None:
         return
+    had = 'eval_profile' in cfg.extras
+    prior = cfg.extras.get('eval_profile')
     if profile == 'fast':
         cfg.extras['eval_profile'] = 'fast'
     elif profile == 'full':
@@ -315,7 +332,14 @@ def apply_eval_profile(cfg: Config, profile: Optional[str]) -> None:
     else:
         raise ValueError(f"eval profile must be 'fast' or 'full', "
                          f"got {profile!r}")
-    effective_n_generated_samples(cfg)
+    try:
+        effective_n_generated_samples(cfg)
+    except Exception:
+        if had:
+            cfg.extras['eval_profile'] = prior
+        else:
+            cfg.extras.pop('eval_profile', None)
+        raise
 
 
 def effective_n_generated_samples(cfg: Config) -> int:

@@ -11,15 +11,10 @@ def main():
     parser = argparse.ArgumentParser(description='MoCoDAD')
     parser.add_argument('-c', '--config', type=str, required=True)
     parser.add_argument('--n-devices', type=int, default=None)
-    parser.add_argument('--eval-profile', choices=('fast', 'full'),
-                        default=None,
-                        help="override the config's eval profile: 'fast' "
-                             'caps the Monte-Carlo sample count (and names '
-                             'the saved_tensors_* dir by the capped count), '
-                             "'full' forces the unmodified protocol")
+    from mocodad_tpu.config import (add_eval_profile_arg,
+                                    apply_eval_profile, load_config)
+    add_eval_profile_arg(parser)
     cli = parser.parse_args()
-
-    from mocodad_tpu.config import apply_eval_profile, load_config
     cfg = load_config(cli.config)
     apply_eval_profile(cfg, cli.eval_profile)
     cfg.save_tensors = True

@@ -128,12 +128,9 @@ def main():
                              'entries (default: 64 x batch-size); pushes '
                              'beyond it are refused with an "overloaded" '
                              'error line instead of growing memory')
-    parser.add_argument('--eval-profile', choices=('fast', 'full'),
-                        default=None,
-                        help="override the config's eval profile: 'fast' "
-                             'caps the Monte-Carlo sample count per scored '
-                             "window (measured AUC-free, PERF_NOTES.md), "
-                             "'full' forces the unmodified protocol")
+    from mocodad_tpu.config import (add_eval_profile_arg,
+                                    apply_eval_profile, load_config)
+    add_eval_profile_arg(parser)
     cli = parser.parse_args()
 
     if (cli.max_queue_windows is not None
@@ -148,7 +145,6 @@ def main():
             'batch can never fill a batch, so every push past the cap '
             'would be refused')
 
-    from mocodad_tpu.config import apply_eval_profile, load_config
     from mocodad_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     cfg = load_config(cli.config)

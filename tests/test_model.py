@@ -580,8 +580,11 @@ def test_apply_eval_profile_cli_override(monkeypatch):
         apply_eval_profile(cfg, 'warp')
 
     # the gate fires at apply time: a measured-unsafe aggregation turns
-    # the override into an immediate refusal
+    # the override into an immediate refusal — and leaves the config
+    # unchanged, so a caller may catch and continue on the old profile
     monkeypatch.setattr(config_mod, 'FAST_PROFILE_UNSAFE_AGGREGATIONS',
                         frozenset({'best'}))
     with pytest.raises(ValueError, match='UNSAFE'):
         apply_eval_profile(cfg, 'fast')
+    assert 'eval_profile' not in cfg.extras
+    assert effective_n_generated_samples(cfg) == 50

@@ -10,13 +10,16 @@ results/frontier_20260819.json) measured only {best, mean}.  A
 families.  This study closes it:
 
     aggregation {median, quantile:0.75, quantile:0.9,
-                 mean_pose, median_pose}
+                 mean_pose, median_pose, best, mean}
   x S {50, 26, 10}
   x 3 sampling seeds
-  x the same 4 synthetic operating points, trained params, and eval
-    protocol (ddpm-9 chain, independent sampling, bf16 + tuned) as the
-    round-4 frontier — so cells merge 1:1 with the archived best/mean
-    grid.
+  x the same 4 synthetic operating points and eval protocol (ddpm-9
+    chain, independent sampling, bf16 + tuned) as the round-4 frontier.
+
+best/mean are RE-MEASURED here (not merged from the round-4 archive) so
+the whole table shares one set of freshly trained params; archived
+round-4 cells only backfill (aggr, op, S) combinations this run did not
+produce (summarize() prefers fresh cells on key collisions).
 
 'random' is omitted by construction: it scores ONE uniformly-chosen
 sample, so its AUC distribution is S-invariant (losses.py aggregate).
