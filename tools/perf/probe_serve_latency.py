@@ -7,6 +7,11 @@ Reports:
     batches of `--batch`);
   * per-flush latency (one padded batch submitted + drained) — the
     latency floor a flush_every-sized micro-batch pays.
+
+MOCODAD_SERVE_PROFILE=fast measures the same numbers under
+`eval_profile: fast` (the serve CLI's --eval-profile fast): the S cap
+cuts the per-flush compute ~5x, which is the serving tier's latency
+lever, not just a throughput one.
 """
 import os
 import sys
@@ -41,6 +46,11 @@ def main():
                           use_hr=False)
     cfg.extras['eval_dtype'] = 'bfloat16'
     cfg.extras['fast_eval'] = True
+    profile = os.environ.get('MOCODAD_SERVE_PROFILE')
+    if profile:
+        from mocodad_tpu.config import apply_eval_profile
+        apply_eval_profile(cfg, profile)
+        print(f'eval profile: {profile}', flush=True)
 
     rs = np.random.RandomState(0)
     _, scaler = S.scale_trajectories(
