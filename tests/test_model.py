@@ -532,17 +532,27 @@ def test_fast_profile_unsafe_set_matches_archived_study():
     for key, vals in res.items():
         if not key.startswith('auc/'):
             continue
-        _, op, _chain, _samp, s, aggr = key.split('/')
+        _, op, chain, samp, s, aggr = key.split('/')
+        # the decision rule is defined on the reference chain with
+        # independent sampling only; a future archive that also carries
+        # ddim/antithetic cells must not contaminate the spread/delta
+        if chain != 'ddpm-9' or samp != 'ind':
+            continue
+        assert (aggr, op, int(s[1:])) not in cells, key
         cells[(aggr, op, int(s[1:]))] = vals
 
     unsafe = set()
     aggrs = {a for a, _, _ in cells}
+    assert aggrs, 'archive holds no ddpm-9/ind cells'
     for aggr in aggrs:
-        for op in {o for a, o, _ in cells if a == aggr}:
+        ops = {o for a, o, _ in cells if a == aggr}
+        for op in ops:
             lo = cells.get((aggr, op, 10))
             hi = cells.get((aggr, op, 50))
-            if not (lo and hi):
-                continue
+            # a (aggr, op) without both endpoints would make this test
+            # pass vacuously — a truncated/re-parameterized archive must
+            # fail loudly, not silently validate an empty unsafe set
+            assert lo and hi, (aggr, op, 'archive missing S10/S50 cell')
             # the study's bound uses the max seed spread over ALL S
             # cells of this (aggr, op), including S=26
             spread = max(max(v) - min(v) for (a, o, _), v in cells.items()

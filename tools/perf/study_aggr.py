@@ -17,9 +17,9 @@ families.  This study closes it:
     chain, independent sampling, bf16 + tuned) as the round-4 frontier.
 
 best/mean are RE-MEASURED here (not merged from the round-4 archive) so
-the whole table shares one set of freshly trained params; archived
-round-4 cells only backfill (aggr, op, S) combinations this run did not
-produce (summarize() prefers fresh cells on key collisions).
+the whole table shares one set of freshly trained params; auc_grid()
+produces every cell the decision table reads, and a family with no
+measured (S=50, S=10) pair prints NO DATA rather than SAFE.
 
 'random' is omitted by construction: it scores ONE uniformly-chosen
 sample, so its AUC distribution is S-invariant (losses.py aggregate).
@@ -47,7 +47,6 @@ import numpy as np
 
 ROOT = '/tmp/frontier_study'         # share the round-4 params/datasets
 RESULTS = os.path.join(ROOT, 'results_aggr.json')
-FRONTIER_RESULTS = os.path.join(ROOT, 'results.json')
 
 OPERATING_POINTS = [('floor', 0.008), ('mid', 0.012), ('easy', 0.02),
                     ('sep', 0.05)]
@@ -106,49 +105,54 @@ def auc_grid(op_name, cfg, test_ds, variables, res):
 
 
 def summarize(res):
-    """Per-aggregation S-cap safety table, merging the round-4 best/mean
-    cells for context and printing the decision per family."""
-    merged = dict(res)
-    if os.path.exists(FRONTIER_RESULTS):
-        prior = _load(FRONTIER_RESULTS)
-        merged.update({k: v for k, v in prior.items()
-                       if '/ddpm-9/ind/' in k and k.startswith('auc/')
-                       and k not in merged})
+    """Per-aggregation S-cap safety table and the decision per family.
 
-    all_aggrs = AGGRS
+    A family is UNSAFE if ANY operating point violates ITS OWN bound
+    (each op has its own seed spread) — the per-family verdict is the
+    OR over ops, not the worst delta against one bound.  A family with
+    no measured (S=50, S=10) pair prints NO DATA, never SAFE."""
     print('\n=== S-cap safety per aggregation (ddpm-9, independent) ===',
           flush=True)
     print(f'{"aggr":14s} {"op":6s} {"S=50":>7s} {"S=26":>7s} {"S=10":>7s}'
           f' {"d(10-50)":>9s} {"spread":>7s}', flush=True)
     verdicts = {}
-    for aggr in all_aggrs:
-        worst_delta, worst_bound = 0.0, 0.0
+    for aggr in AGGRS:
+        violations, n_compared = [], 0
         for op_name, _ in OPERATING_POINTS:
             row = {}
             spread = 0.0
             for s in S_LIST:
-                vals = merged.get(f'auc/{op_name}/ddpm-9/ind/S{s}/{aggr}')
+                vals = res.get(f'auc/{op_name}/ddpm-9/ind/S{s}/{aggr}')
                 if vals:
                     row[s] = float(np.mean(vals))
                     spread = max(spread, float(np.max(vals) - np.min(vals)))
             if 50 in row and 10 in row:
+                n_compared += 1
                 delta = row[10] - row[50]
                 bound = max(2 * spread, 0.005)
-                if abs(delta) > abs(worst_delta):
-                    worst_delta, worst_bound = delta, bound
+                unsafe_here = abs(delta) > bound
+                if unsafe_here:
+                    violations.append((op_name, delta, bound))
                 print(f'{aggr:14s} {op_name:6s} '
                       + ' '.join(f'{row.get(s, float("nan")):7.4f}'
                                  for s in S_LIST)
                       + f' {delta:+9.4f} {spread:7.4f}'
-                      + ('  UNSAFE' if abs(delta) > bound else ''),
+                      + ('  UNSAFE' if unsafe_here else ''),
                       flush=True)
-        verdicts[aggr] = (worst_delta, worst_bound)
-    print('\n=== verdicts (worst |dAUC| at S=10 vs its bound) ===',
+        verdicts[aggr] = (violations, n_compared)
+    print('\n=== verdicts (UNSAFE if any op violates its own bound) ===',
           flush=True)
-    for aggr, (delta, bound) in verdicts.items():
-        safe = abs(delta) <= bound
-        print(f'{aggr:14s} worst d={delta:+.4f} bound={bound:.4f} -> '
-              f'{"SAFE" if safe else "UNSAFE"}', flush=True)
+    for aggr, (violations, n_compared) in verdicts.items():
+        if not n_compared:
+            print(f'{aggr:14s} NO DATA (no S=50/S=10 pair measured)',
+                  flush=True)
+        elif violations:
+            worst = max(violations, key=lambda v: abs(v[1]))
+            print(f'{aggr:14s} UNSAFE at {len(violations)}/{n_compared} '
+                  f'ops (worst: {worst[0]} d={worst[1]:+.4f} '
+                  f'bound={worst[2]:.4f})', flush=True)
+        else:
+            print(f'{aggr:14s} SAFE over {n_compared} ops', flush=True)
 
 
 def main():
