@@ -598,3 +598,21 @@ def test_apply_eval_profile_cli_override(monkeypatch):
         apply_eval_profile(cfg, 'fast')
     assert 'eval_profile' not in cfg.extras
     assert effective_n_generated_samples(cfg) == 50
+
+
+def test_add_eval_profile_arg_parser_wiring():
+    """The shared `--eval-profile` definition (config.add_eval_profile_arg)
+    accepts exactly the values apply_eval_profile accepts, defaults to
+    no-op None, and rejects unknown profiles at parse time — the three
+    CLIs stay in lockstep by construction."""
+    import argparse
+
+    from mocodad_tpu.config import add_eval_profile_arg
+
+    p = argparse.ArgumentParser()
+    add_eval_profile_arg(p)
+    assert p.parse_args([]).eval_profile is None
+    assert p.parse_args(['--eval-profile', 'fast']).eval_profile == 'fast'
+    assert p.parse_args(['--eval-profile', 'full']).eval_profile == 'full'
+    with pytest.raises(SystemExit):
+        p.parse_args(['--eval-profile', 'warp'])
