@@ -161,24 +161,52 @@ class StreamScorer:
                 'evaluation (use_hr / HR-Avenue) is offline-only — run '
                 'eval_MoCoDAD.py for HR-masked scores')
 
+        if cfg.num_transform < 1:
+            # offline eval with num_transform < 1 scores RANDOM temporal
+            # crops per item even at test time (the reference's old_aug
+            # path, ref utils/dataset.py:81,125-130; data/pipeline.py
+            # old_aug) — a non-deterministic construct streaming cannot
+            # reproduce; refuse rather than silently score the identity
+            # view and break the offline-exactness claim
+            raise NotImplementedError(
+                'StreamScorer requires num_transform >= 1; the offline '
+                'old_aug path (num_transform < 1) applies random '
+                'temporal crops at test time and has no streaming '
+                'equivalent')
         self.cfg = cfg
         self.model = build_model(cfg)
+        if getattr(self.model, 'stage', None) == 'pretrain':
+            # the latent variant's pretrain stage generates reconstructed
+            # poses with NO per-window loss (models/mocodad_latent.py
+            # generate -> (pose, None)); scoring needs the loss route
+            raise NotImplementedError(
+                "StreamScorer needs a per-window loss; the latent "
+                "variant's 'pretrain' stage returns reconstructions only "
+                "— serve the 'diffusion' stage (or the base model)")
         if variables is None:
             import os
             from mocodad_tpu.training.checkpoint import restore_variables
             path = os.path.join(cfg.ckpt_dir, cfg.load_ckpt)
             template = self.model.init_variables(jax.random.key(0))
-            variables = restore_variables(path, template)
+            # use_ema must mirror the offline eval CLI's restore
+            # (training/loop.py restore_and_infer) or an EMA-trained
+            # config would stream scores from the raw weights
+            variables = restore_variables(path, template,
+                                          use_ema=cfg.use_ema)
         self.variables = {'params': variables['params'],
                           'batch_stats': variables.get('batch_stats', {})}
 
         self.scaler = load_scaler(scaler_artifact_path(
             cfg.ckpt_dir, 'local', cfg.normalization_strategy))
         self.vid_res = np.asarray(cfg.vid_res, dtype=np.float32)
-        self.num_transform = max(cfg.num_transform, 1)
+        self.num_transform = cfg.num_transform
         self.mats = affine_transform_matrices(self.num_transform)
         self.batch_size = int(batch_size)
+        if self.batch_size < 1:
+            raise ValueError('batch_size must be >= 1')
         self.flush_every = flush_every
+        if flush_every is not None and int(flush_every) < 1:
+            raise ValueError('flush_every must be >= 1 (or None)')
         if max_pending_batches < 1:
             raise ValueError('max_pending_batches must be >= 1')
         self.max_pending_batches = int(max_pending_batches)
@@ -203,7 +231,11 @@ class StreamScorer:
                                              'meta': [], 'frames': []})
         self._pending_dev: List = []  # (loss_dev, trans, meta, frames, nval)
 
-        self._rng = jax.random.key(cfg.seed)
+        # same eval domain tag as the offline loop (training/loop.py
+        # run_inference): without it, micro-batch i would replay train
+        # step i's exact PRNG key from the same config seed — the
+        # correlation the offline path deliberately avoids
+        self._rng = jax.random.fold_in(jax.random.key(cfg.seed), 0x45564C)
         self._batch_idx = 0
         self._step = self._build_step()
 
@@ -246,6 +278,15 @@ class StreamScorer:
             raise ValueError(
                 f'keypoints must have shape (17, 2) (the CSV trajectory '
                 f'layout, ref utils/data.py:219-236); got {kp.shape}')
+        frame = int(frame)
+        if frame < 1:
+            # frames are 1-indexed like the reference CSVs (the scoring
+            # scatter writes at column frame-1, eval/scoring.py
+            # compute_var_matrix); frame 0 would silently wrap to the
+            # LAST column and corrupt that frame's score
+            raise ValueError(
+                f'frame numbers are 1-indexed (reference CSV contract, '
+                f'ref utils/eval_utils.py:27-34); got {frame}')
         # a push only costs queue space once its track has seg_len frames
         # (each then emits num_transform window views); warm-up frames of
         # a new/short track are free and must never be refused
@@ -415,11 +456,13 @@ class StreamScorer:
         mean + log1p amplitude, shift + gaussian smoothing, view
         averaging; ref models/mocodad.py:386-424).  Frees the clip's
         buffers."""
-        self.flush(force=True)
-        self._drain()
+        # pure-config validation first: a doomed call must not pay for
+        # (or force) padded partial-batch inference before erroring
         if self.cfg.pad_size != -1 and gt is None:
             raise ValueError('cfg.pad_size != -1: pass the gt mask (the '
                              'reference takes absence intervals from it)')
+        self.flush(force=True)
+        self._drain()
         scores = self._clip_scores((scene, clip), n_frames, gt=gt,
                                    smooth=True)
         self.drop_clip(scene, clip)
@@ -441,7 +484,11 @@ class StreamScorer:
             self._q_trans = [self._q_trans[i] for i in keep]
             self._q_meta = [self._q_meta[i] for i in keep]
             self._q_frames = [self._q_frames[i] for i in keep]
-        if self._pending_dev:
+        # draining is a device sync per in-flight batch; skip it when no
+        # pending batch contains this clip (each entry carries its meta)
+        if self._pending_dev and any(
+                bool(np.any((m[:n, 0] == scene) & (m[:n, 1] == clip)))
+                for _, _, m, _, n in self._pending_dev):
             self._drain()
         self._scored.pop((scene, clip), None)
         for key in [k for k in self._tracks

@@ -180,11 +180,61 @@ def test_guardrails(synth, fitted):
     with pytest.raises(NotImplementedError):
         StreamScorer(cfg6, variables=None)
 
-    # pad_size != -1 needs the gt mask at finalize (absence intervals)
+    # pad_size != -1 needs the gt mask at finalize (absence intervals);
+    # the pure-config check must fire BEFORE any flush/drain, so a
+    # doomed call with pending windows pays no inference
     cfg_pad = _cfg(synth, fitted.ckpt_dir, pad_size=2)
     s2 = StreamScorer(cfg_pad, variables=_init_vars(cfg_pad), batch_size=8)
+    rs = np.random.default_rng(3)
+    for f in range(cfg_pad.seg_len):
+        s2.push(0, 0, 1, f + 1,
+                rs.uniform(100, 300, (17, 2)).astype(np.float32))
+    pend = s2.pending
+    assert pend > 0
     with pytest.raises(ValueError):
         s2.finalize_clip(0, 0, n_frames=10)
+    assert s2.pending == pend, 'doomed finalize paid for inference'
+
+    # sizing knobs validate at construction, not deep inside flush()
+    cfg = _cfg(synth, fitted.ckpt_dir)
+    with pytest.raises(ValueError):
+        StreamScorer(cfg, variables=_init_vars(cfg), batch_size=0)
+    with pytest.raises(ValueError):
+        StreamScorer(cfg, variables=_init_vars(cfg), batch_size=8,
+                     flush_every=0)
+
+    # the offline old_aug path (num_transform < 1 = random temporal
+    # crops at test time) has no streaming equivalent — refuse, don't
+    # silently score the identity view
+    cfg0 = _cfg(synth, fitted.ckpt_dir, num_transform=0)
+    with pytest.raises(NotImplementedError):
+        StreamScorer(cfg0, variables=None)
+
+    # the latent variant's pretrain stage has no per-window loss
+    cfg_lat = _cfg(synth, fitted.ckpt_dir, diffusion_on_latent=True,
+                   stage='pretrain')
+    with pytest.raises(NotImplementedError):
+        StreamScorer(cfg_lat, variables=None)
+
+
+def test_drop_clip_skips_drain_for_unrelated_batches(synth, fitted):
+    """drop_clip must not synchronously drain in-flight device batches
+    that cannot contain the dropped clip — each pending entry carries
+    its meta, so membership is checkable host-side."""
+    cfg = _cfg(synth, fitted.ckpt_dir)
+    scorer = StreamScorer(cfg, variables=_init_vars(cfg), batch_size=4)
+    rs = np.random.default_rng(1)
+    for f in range(cfg.seg_len + 1):
+        scorer.push(0, 5, 1, f + 1,
+                    rs.uniform(100, 300, (17, 2)).astype(np.float32))
+    scorer.flush(force=True)
+    assert scorer._pending_dev, 'expected an in-flight batch'
+    n_inflight = len(scorer._pending_dev)
+    scorer.drop_clip(0, 6)            # unrelated clip: no drain
+    assert len(scorer._pending_dev) == n_inflight
+    scorer.drop_clip(0, 5)            # the clip in flight: must drain
+    assert not scorer._pending_dev
+    assert (0, 5) not in scorer._scored
 
 
 def test_drop_clip_frees_state(synth, fitted):
@@ -228,6 +278,11 @@ def test_push_rejects_wrong_arity_keypoints(synth, fitted):
         scorer.push(0, 0, 1, 4, np.zeros((0,), np.float32))
     with pytest.raises(ValueError):
         scorer.push(0, 0, 1, 4, np.zeros((17, 3), np.float32))
+    # frames are 1-indexed (reference CSV contract): frame 0 would wrap
+    # the scoring scatter to the LAST column and silently corrupt it
+    with pytest.raises(ValueError):
+        scorer.push(0, 0, 1, 0,
+                    np.full((17, 2), 150.0, np.float32))
     for f in range(3, cfg.seg_len + 2):
         scorer.push(0, 0, 1, f + 1,
                     rs.uniform(100, 300, (17, 2)).astype(np.float32))
